@@ -1,0 +1,204 @@
+"""Convolutional k=7 r=1/2 codec: encoder + batched soft Viterbi decoder.
+
+Reference: src-core/common/codings/viterbi/{cc_encoder,cc_decoder}.cpp (the
+VOLK `volk_8u_x4_conv_k7_r2_8u` SIMD trellis) and viterbi27.h / viterbi_1_2.h
+streaming wrappers. Conventions match the reference: polynomials {79, 109}
+(the bit-reversed-register form of CCSDS 171/133 octal), state = last K-1
+input bits with newest bit in the LSB, soft symbols as uint8 where 0/255 are
+confident and 128 is an erasure.
+
+TPU design: the 64-state ACS update is fully vectorized over states *and* a
+batch dimension (many streams / phase hypotheses in lanes); only the T time
+steps are sequential (`lax.scan`). Traceback is a second reverse scan.
+Streaming decode uses delayed emission with traceback depth D (standard
+continuous Viterbi), carrying path metrics + D decision rows between blocks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = 7
+NSTATES = 64
+POLYA = 79    # 0b1001111
+POLYB = 109   # 0b1101101
+TRACEBACK = 96  # delayed-emission depth (>= 5*K is the usual rule)
+
+
+def _parity(x: np.ndarray) -> np.ndarray:
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & 1
+
+
+def _expected_table() -> np.ndarray:
+    """E[state, bit, 2] = expected output bits for transition (state, input bit)."""
+    s = np.arange(NSTATES)[:, None]          # (64,1)
+    b = np.arange(2)[None, :]                # (1,2)
+    reg = (s << 1) | b                       # 7-bit register
+    e0 = _parity(reg & POLYA)
+    e1 = _parity(reg & POLYB)
+    return np.stack([e0, e1], axis=-1).astype(np.uint8)  # (64,2,2)
+
+
+_E = _expected_table()
+
+
+def conv_encode(bits: np.ndarray, start_state: int = 0) -> np.ndarray:
+    """Encode bits -> 2*len(bits) output bits (ref cc_encoder.cpp)."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    out = np.empty(2 * len(bits), dtype=np.uint8)
+    s = start_state
+    for i, b in enumerate(bits):
+        reg = ((s << 1) | int(b)) & 0x7F
+        out[2 * i] = _parity(np.uint8(reg & POLYA))
+        out[2 * i + 1] = _parity(np.uint8(reg & POLYB))
+        s = reg & 0x3F
+    return out
+
+
+def conv_encode_batch(bits: np.ndarray) -> np.ndarray:
+    """Vectorized NumPy encoder over (..., N) bit arrays."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    n = bits.shape[-1]
+    # register value at step i = bits[i-6..i] as a 7-bit number (newest = LSB)
+    reg = np.zeros(bits.shape, dtype=np.int32)
+    for k in range(K):
+        shifted = np.zeros_like(bits)
+        if k == 0:
+            shifted = bits
+        else:
+            shifted[..., k:] = bits[..., :-k]
+        reg |= shifted.astype(np.int32) << k
+    e0 = _parity(reg & POLYA)
+    e1 = _parity(reg & POLYB)
+    out = np.empty(bits.shape[:-1] + (2 * n,), dtype=np.uint8)
+    out[..., 0::2] = e0
+    out[..., 1::2] = e1
+    return out
+
+
+class ViterbiState(NamedTuple):
+    pm: jnp.ndarray         # (B, 64) float32 path metrics
+    decisions: jnp.ndarray  # (D, B, 64) bool, last D decision rows
+    tb_state: jnp.ndarray   # unused placeholder for future use
+
+
+def viterbi_init(batch: int = 1, traceback: int = TRACEBACK) -> ViterbiState:
+    pm = jnp.full((batch, NSTATES), 1e6, jnp.float32).at[:, 0].set(0.0)
+    return ViterbiState(
+        pm=pm,
+        decisions=jnp.zeros((traceback, batch, NSTATES), jnp.bool_),
+        tb_state=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+# Precomputed trellis index tables (host constants)
+_NS = np.arange(NSTATES)
+_PRED0 = (_NS >> 1).astype(np.int32)            # predecessor with dropped bit 0
+_PRED1 = ((_NS >> 1) | 32).astype(np.int32)     # predecessor with dropped bit 1
+_BIT = (_NS & 1).astype(np.int32)               # input bit of transition into ns
+# expected outputs for transition (pred, bit_of_ns): (64, 2)
+_E0_T = _E[:, :, 0].astype(np.float32)  # [state, bit]
+_E1_T = _E[:, :, 1].astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("renorm_every",))
+def viterbi_acs(pm: jnp.ndarray, soft: jnp.ndarray, renorm_every: int = 32
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run ACS over a block. pm: (B,64). soft: (B,T,2) float32 in [0,255]
+    (255 = confident 1). Returns (new_pm, decisions (T,B,64) bool)."""
+    e0 = jnp.asarray(_E0_T)  # (64,2)
+    e1 = jnp.asarray(_E1_T)
+    pred0 = jnp.asarray(_PRED0)
+    pred1 = jnp.asarray(_PRED1)
+    bit = jnp.asarray(_BIT)
+
+    # branch metric per (state, input bit) given the two received softs:
+    # bm[s,b] = e0[s,b] ? 255-s0 : s0  +  e1[s,b] ? 255-s1 : s1
+    def step(pm, soft_t):
+        s0 = soft_t[:, 0][:, None, None]  # (B,1,1)
+        s1 = soft_t[:, 1][:, None, None]
+        bm = jnp.abs(s0 - 255.0 * e0[None]) + jnp.abs(s1 - 255.0 * e1[None])  # (B,64,2)
+        cand0 = pm[:, pred0] + bm[:, pred0, bit]   # (B,64)
+        cand1 = pm[:, pred1] + bm[:, pred1, bit]
+        dec = cand1 < cand0
+        new_pm = jnp.minimum(cand0, cand1)
+        new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
+        return new_pm, dec
+
+    pm, decisions = jax.lax.scan(step, pm, jnp.swapaxes(soft, 0, 1))
+    return pm, decisions
+
+
+@jax.jit
+def viterbi_traceback(pm: jnp.ndarray, decisions: jnp.ndarray) -> jnp.ndarray:
+    """Traceback from best end state. decisions: (T,B,64). Returns bits (B,T)."""
+    pred0 = jnp.asarray(_PRED0)
+    pred1 = jnp.asarray(_PRED1)
+    B = pm.shape[0]
+    state0 = jnp.argmin(pm, axis=-1).astype(jnp.int32)  # (B,)
+
+    def step(state, dec_t):
+        d = jnp.take_along_axis(dec_t, state[:, None], axis=-1)[:, 0]  # (B,)
+        bits = (state & 1).astype(jnp.uint8)
+        prev = jnp.where(d, pred1[state], pred0[state])
+        return prev, bits
+
+    _, bits_rev = jax.lax.scan(step, state0, decisions[::-1])
+    return bits_rev[::-1].swapaxes(0, 1)  # (B,T)
+
+
+def viterbi_decode_block(soft: jnp.ndarray, pm: jnp.ndarray | None = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-shot block decode. soft: (B,T,2) float in [0,255]. Returns
+    (bits (B,T) uint8, final pm)."""
+    if soft.ndim == 2:
+        soft = soft[None]
+    B = soft.shape[0]
+    if pm is None:
+        pm = jnp.zeros((B, NSTATES), jnp.float32)
+    pm, dec = viterbi_acs(pm, soft)
+    bits = viterbi_traceback(pm, dec)
+    return bits, pm
+
+
+class StreamViterbi:
+    """Continuous r=1/2 k=7 Viterbi with delayed emission (ref Viterbi27,
+    common/codings/viterbi/viterbi27.h:10-34).
+
+    Host-side wrapper holding device state; decode(soft_pairs) returns the
+    decoded bits delayed by `traceback` trellis steps.
+    """
+
+    def __init__(self, batch: int = 1, traceback: int = TRACEBACK):
+        self.traceback = traceback
+        self.batch = batch
+        self.pm = jnp.zeros((batch, NSTATES), jnp.float32)
+        self.dec_tail = jnp.zeros((traceback, batch, NSTATES), jnp.bool_)
+        self.started = False
+
+    def decode(self, soft: jnp.ndarray) -> np.ndarray:
+        """soft: (B,T,2) float [0,255]. Returns (B, T) uint8 bits — the T bits
+        ending `traceback` steps before the newest symbol (delayed emission);
+        the first call's first `traceback` bits are left-padding zeros."""
+        D = self.traceback
+        self.pm, dec = viterbi_acs(self.pm, soft)
+        window = jnp.concatenate([self.dec_tail, dec], axis=0)  # (D+T, B, 64)
+        bits = viterbi_traceback(self.pm, window)               # (B, D+T)
+        T = soft.shape[1]
+        self.dec_tail = window[-D:]
+        out = bits[:, :T]
+        return np.asarray(out, dtype=np.uint8)
+
+
+def soft_int8_to_u8(soft: np.ndarray) -> np.ndarray:
+    """Signed int8 soft (-127..127, + = bit 1) -> uint8 (0..255, 128 erasure)
+    (ref signed_soft_to_unsigned, codings/viterbi/utils.cpp)."""
+    return (soft.astype(np.int16) + 128).clip(0, 255).astype(np.uint8)
