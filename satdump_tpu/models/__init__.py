@@ -1,0 +1,6 @@
+"""Per-mission decoders/instruments (the reference's plugins/*_support analog).
+
+Importing this package registers all mission modules.
+"""
+
+import satdump_tpu.models.noaa_apt  # noqa: F401

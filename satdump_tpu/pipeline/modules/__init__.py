@@ -1,0 +1,4 @@
+"""Built-in processing modules. Importing this package registers them all."""
+
+import satdump_tpu.pipeline.modules.demod  # noqa: F401
+import satdump_tpu.pipeline.modules.ccsds  # noqa: F401

@@ -1,0 +1,148 @@
+"""Generic CCSDS concatenated decoder: .soft -> .cadu.
+
+Reference: src-core/pipeline/modules/ccsds/module_ccsds_conv_concat_decoder.cpp
+(the workhorse of ~half the reference pipelines, SURVEY.md A.1). Chain per
+block: [iq invert/bpsk_90 rotate] -> Viterbi (phase/shift search) -> [NRZ-M]
+-> deframer -> per frame: [derand] -> RS(223/239) interleaved -> [derand
+after RS] -> write cadu. Parameter surface matches the reference JSON.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from satdump_tpu.core.exceptions import PipelineError
+from satdump_tpu.core.log import logger
+from satdump_tpu.ops.fec import differential
+from satdump_tpu.ops.fec.deframer import CCSDSDeframer
+from satdump_tpu.ops.fec.randomization import derand_ccsds
+from satdump_tpu.ops.fec.reed_solomon import ReedSolomon
+from satdump_tpu.ops.fec.rotation import PHASE_0, PHASE_90, rotate_soft
+from satdump_tpu.pipeline.module import ProcessingModule, register_module
+from satdump_tpu.pipeline.modules.ccsds.viterbi_sync import Viterbi12Sync
+
+
+@register_module
+class CCSDSConvConcatDecoderModule(ProcessingModule):
+    id = "ccsds_conv_concat_decoder"
+
+    def __init__(self, input_file, output_file_hint, parameters):
+        super().__init__(input_file, output_file_hint, parameters)
+        self.is_ccsds = bool(self.param("ccsds", True))
+        const = str(self.param("constellation", required=True))
+        self.cadu_size = int(self.param("cadu_size", required=True))
+        self.cadu_bytes = -(-self.cadu_size // 8)
+        self.viterbi_outsync = int(self.param("viterbi_outsync_after", 5))
+        self.viterbi_ber_thr = float(self.param("viterbi_ber_thresold", 0.3))
+        self.diff_decode = bool(self.param("nrzm", False))
+        self.derand = bool(self.param("derandomize", True))
+        self.derand_after_rs = bool(self.param("derand_after_rs", False))
+        self.derand_from = int(self.param("derand_start", 4))
+        self.conv_rate = str(self.param("conv_rate", "1/2"))
+        self.rs_i = int(self.param("rs_i", 0))
+        self.rs_dualbasis = bool(self.param("rs_dualbasis", True))
+        self.rs_type = str(self.param("rs_type", "rs223"))
+        self.rs_usecheck = bool(self.param("rs_usecheck", False))
+        self.iq_invert = bool(self.param("iq_invert", False))
+        asm_hex = self.param("asm", "1acffc1d")
+        self.asm = int(str(asm_hex), 16)
+
+        self.bpsk_90 = const == "bpsk_90"
+        self.oqpsk = const == "oqpsk"
+        if const in ("bpsk", "bpsk_90"):
+            phases = [PHASE_0] if not self.bpsk_90 else [PHASE_90]
+        elif const in ("qpsk", "oqpsk"):
+            phases = [PHASE_0, PHASE_90]
+        else:
+            raise PipelineError(f"invalid constellation {const}")
+        if self.conv_rate != "1/2":
+            raise PipelineError(f"conv_rate {self.conv_rate} not yet implemented")
+
+        self.viterbi = Viterbi12Sync(self.viterbi_ber_thr, self.viterbi_outsync,
+                                     phases, check_iq_swap=self.oqpsk)
+        self.deframer = CCSDSDeframer(self.cadu_size, self.asm)
+        self.rs = ReedSolomon(k=223 if self.rs_type == "rs223" else 239) if self.rs_i else None
+        self.nrzm_last = 0
+        self.block = int(self.param("buffer_size", 0) or (1 << 20))
+
+    def process(self):
+        ext = ".cadu" if self.is_ccsds else ".frm"
+        out_path = self.d_output_file_hint + ext
+        self.d_output_file = out_path
+        nframes = 0
+        rs_avg = []
+        soft = np.fromfile(self.d_input_file, dtype=np.int8)
+        with open(out_path, "wb") as fout:
+            for off in range(0, len(soft), self.block):
+                chunk = soft[off: off + self.block]
+                if self.bpsk_90 or self.iq_invert:
+                    chunk = rotate_soft(chunk, PHASE_0, iq_swap=True)
+                bits = self.viterbi.work(chunk)
+                if len(bits) == 0:
+                    continue
+                if self.diff_decode:
+                    bits, self.nrzm_last = differential.nrzm_decode(bits, self.nrzm_last)
+                frames = self.deframer.work(bits)
+                for cadu in frames:
+                    cadu = np.array(cadu, np.uint8)
+                    if self.derand and not self.derand_after_rs:
+                        cadu[self.derand_from:] = derand_ccsds(cadu[self.derand_from:])
+                    valid = True
+                    if self.rs is not None:
+                        payload = cadu[4: 4 + 255 * self.rs_i]
+                        corrected, errs = self.rs.decode_interleaved(
+                            payload, self.rs_dualbasis, self.rs_i)
+                        cadu[4: 4 + 255 * self.rs_i] = corrected
+                        valid = (errs >= 0).all()
+                        rs_avg.append(errs)
+                    if self.derand and self.derand_after_rs:
+                        cadu[self.derand_from:] = derand_ccsds(cadu[self.derand_from:])
+                    if not self.rs_usecheck or valid:
+                        fout.write(cadu[: self.cadu_bytes].tobytes())
+                        nframes += 1
+        self.stats = {
+            "frames": nframes,
+            "viterbi_ber": self.viterbi.ber,
+            "viterbi_lock": self.viterbi.getState(),
+            "deframer_lock": self.deframer.state,
+            "rs_avg": float(np.mean(rs_avg)) if rs_avg else 0.0,
+        }
+        logger.info(f"Decoded {nframes} CADUs (viterbi ber {self.viterbi.ber:.3f}, "
+                    f"rs avg {self.stats['rs_avg']:.2f})")
+
+
+@register_module
+class MetopAHRPTDecoderModule(CCSDSConvConcatDecoderModule):
+    """MetOp AHRPT decoder (ref plugins/noaa_metop_support/metop/module_metop_ahrpt_decoder.cpp):
+    QPSK, CADU 1024 bytes, RS223 interleave 4, derandomized."""
+
+    id = "metop_ahrpt_decoder"
+
+    def __init__(self, input_file, output_file_hint, parameters):
+        p = dict(parameters or {})
+        p.setdefault("constellation", "qpsk")
+        p.setdefault("cadu_size", 8192)
+        p.setdefault("rs_i", 4)
+        p.setdefault("derandomize", True)
+        p.setdefault("viterbi_outsync_after", 10)
+        p.setdefault("viterbi_ber_thresold", 0.28)
+        super().__init__(input_file, output_file_hint, p)
+
+
+@register_module
+class MeteorLRPTDecoderModule(CCSDSConvConcatDecoderModule):
+    """METEOR-M LRPT decoder (ref plugins/meteor_support/meteor/module_meteor_lrpt_decoder.cpp):
+    QPSK 72k, CADU 1024 bytes, RS223 i=4, optional NRZ-M (diff_decode)."""
+
+    id = "meteor_lrpt_decoder"
+
+    def __init__(self, input_file, output_file_hint, parameters):
+        p = dict(parameters or {})
+        p.setdefault("constellation", "qpsk")
+        p.setdefault("cadu_size", 8192)
+        p.setdefault("rs_i", 4)
+        p.setdefault("derandomize", True)
+        p["nrzm"] = bool(p.get("diff_decode", p.get("nrzm", False)))
+        p.setdefault("viterbi_outsync_after", 10)
+        p.setdefault("viterbi_ber_thresold", 0.30)
+        super().__init__(input_file, output_file_hint, p)

@@ -1,0 +1,150 @@
+"""PSK demodulator module: baseband -> .soft int8 symbols.
+
+Reference: src-core/pipeline/modules/demod/module_psk_demod.cpp. Same chain:
+[freq_shift] -> [dc] -> [resample] -> AGC -> RRC -> [carrier PLL] -> Costas
+(order 2/4/8) -> [post-Costas DC] -> [OQPSK delay] -> M&M clock recovery ->
+int8 quantize (x50 real-only for BPSK, x100 interleaved IQ otherwise,
+module_psk_demod.cpp:196-213). The whole per-block chain is one jitted pure
+function with carried loop state; block shapes are fixed so it compiles once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satdump_tpu.core.exceptions import PipelineError
+from satdump_tpu.core.log import logger
+from satdump_tpu.ops import clock_recovery, costas, fir, firdes, resamp, stages
+from satdump_tpu.pipeline.module import register_module
+from satdump_tpu.pipeline.modules.demod.base import BaseDemodModule
+
+_ORDER = {"bpsk": 2, "qpsk": 4, "oqpsk": 4, "8psk": 8}
+
+
+@register_module
+class PSKDemodModule(BaseDemodModule):
+    id = "psk_demod"
+
+    def __init__(self, input_file, output_file_hint, parameters):
+        super().__init__(input_file, output_file_hint, parameters)
+        self.constellation = str(self.param("constellation", required=True))
+        if self.constellation not in _ORDER:
+            raise PipelineError(f"unknown constellation {self.constellation}")
+        self.rrc_alpha = float(self.param("rrc_alpha", required=True))
+        self.rrc_taps = int(self.param("rrc_taps", 31))
+        self.loop_bw = float(self.param("pll_bw", required=True))
+        self.post_costas_dc = bool(self.param("post_costas_dc", False))
+        clock_alpha = float(self.param("clock_alpha", 8.7e-3))
+        self.clock_gain_omega = float(self.param("clock_gain_omega", clock_alpha ** 2 / 4.0))
+        self.clock_mu = float(self.param("clock_mu", 0.5))
+        self.clock_gain_mu = float(self.param("clock_gain_mu", clock_alpha))
+        self.clock_omega_limit = float(self.param("clock_omega_relative_limit", 0.005))
+        self.is_bpsk = self.constellation == "bpsk"
+        self.is_oqpsk = self.constellation == "oqpsk"
+        if self.is_oqpsk:
+            self.MIN_SPS, self.MAX_SPS = 1.6, 2.4
+        self.block_base = int(self.param("buffer_size", 0) or (1 << 18))
+
+    # -- the jitted per-block chain -----------------------------------------
+    def _build(self):
+        self.compute_rates()
+        self.block_size = self.choose_block_size(self.block_base)
+        order = _ORDER[self.constellation]
+        rrc = firdes.root_raised_cosine(
+            1.0, self.final_samplerate, self.d_symbolrate, self.rrc_alpha, self.rrc_taps)
+        self.rrc_ntaps = len(rrc)
+        taps = jnp.asarray(rrc)
+        bank = jnp.asarray(firdes.mm_interpolator_bank())
+        sps = self.final_sps
+        do_shift = self.d_frequency_shift != 0
+        shift_delta = 2 * np.pi * self.d_frequency_shift / self.d_samplerate
+        do_resample = self.resample
+        if do_resample:
+            interp, decim = resamp.make_rational(self.d_samplerate, self.final_samplerate)
+            r_proto = resamp.design_resampler_taps(interp, decim)
+            r_bank = jnp.asarray(firdes.polyphase_bank(r_proto, interp))
+            r_ntaps = r_bank.shape[1]
+            out_n = self.block_size * interp // decim
+        else:
+            interp = decim = 1
+            r_bank = None
+            out_n = self.block_size
+        agc_rate = self.d_agc_rate
+        loop_bw = self.loop_bw
+        dc_block = self.d_dc_block
+        post_dc = self.post_costas_dc
+        is_oqpsk = self.is_oqpsk
+        gain_omega, gain_mu = self.clock_gain_omega, self.clock_gain_mu
+        omega_limit = self.clock_omega_limit
+        mm_out_cap = int(np.ceil(out_n / (sps * (1 - omega_limit)))) + 2
+
+        def step(state, x):
+            (fs_st, dc_st, rs_st, agc_st, fir_st, cs_st, pdc_st, dly_st, mm_st) = state
+            if do_shift:
+                fs_st, x = stages.freq_shift(fs_st, x, shift_delta)
+            if dc_block:
+                dc_st, x = stages.dc_block(dc_st, x, alpha=1e-4)
+            if do_resample:
+                rs_st, x, _valid = resamp.rational_resampler(
+                    rs_st, x, r_bank, interp, decim, out_cap=out_n)
+            agc_st, x = stages.agc_scan(agc_st, x, rate=agc_rate)
+            fir_st, x = fir.fir_apply(fir_st, x, taps)
+            cs_st, x = costas.costas_scan(cs_st, x, loop_bw, order)
+            if post_dc:
+                pdc_st, x = stages.dc_block(pdc_st, x, alpha=1e-4)
+            if is_oqpsk:
+                dly_st, x = stages.delay_one_imag(dly_st, x)
+            mm_st, syms, valid = clock_recovery.mm_clock_recovery(
+                mm_st, x, omega_mid=sps, gain_omega=gain_omega, gain_mu=gain_mu,
+                omega_relative_limit=omega_limit, bank=bank, out_cap=mm_out_cap)
+            snr = stages.snr_m2m4(jnp.where(valid, syms, 0))
+            state = (fs_st, dc_st, rs_st, agc_st, fir_st, cs_st, pdc_st, dly_st, mm_st)
+            return state, syms, valid, snr
+
+        self._step = jax.jit(step, donate_argnums=0)
+        self._state = (
+            stages.freq_shift_init(),
+            stages.dc_block_init(),
+            resamp.rational_resampler_init(interp, r_bank.shape[1] if do_resample else 8),
+            stages.agc_init(),
+            fir.fir_init(self.rrc_ntaps),
+            costas.costas_init(),
+            stages.dc_block_init(),
+            stages.delay_one_imag_init(),
+            clock_recovery.mm_init(omega=sps, mu=self.clock_mu),
+        )
+
+    def process(self):
+        self._build()
+        out_path = self.d_output_file_hint + ".soft"
+        self.d_output_file = out_path
+        reader = self.open_input(self.block_size)
+        logger.info(f"Constellation: {self.constellation}; samplerate "
+                    f"{self.d_samplerate} -> {self.final_samplerate} "
+                    f"(sps {self.final_sps:.2f}); block {self.block_size}")
+        nsyms = 0
+        peak_snr = -100.0
+        with open(out_path, "wb") as f:
+            for blk in reader.blocks():
+                self._state, syms, valid, snr = self._step(self._state, jnp.asarray(blk.samples))
+                s = np.asarray(syms)[np.asarray(valid)]
+                if blk.last and blk.valid < self.block_size:
+                    # padded tail: drop symbols sourced from the zero padding
+                    keep = int(len(s) * blk.valid / self.block_size) + 2
+                    s = s[:min(keep, len(s))]
+                snr_v = float(snr)
+                peak_snr = max(peak_snr, snr_v)
+                if self.is_bpsk:
+                    out = np.asarray(stages.bpsk_soft(jnp.asarray(s.real), 50.0))
+                else:
+                    out = np.empty(2 * len(s), np.int8)
+                    out[0::2] = np.clip(s.real * 100.0, -127, 127).astype(np.int8)
+                    out[1::2] = np.clip(s.imag * 100.0, -127, 127).astype(np.int8)
+                f.write(out.tobytes())
+                nsyms += len(s)
+        self.stats = {"snr": snr_v, "peak_snr": peak_snr, "symbols": nsyms}
+        logger.info(f"Demodulated {nsyms} symbols, SNR {snr_v:.1f} dB")

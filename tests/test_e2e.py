@@ -1,0 +1,143 @@
+"""Full end-to-end pipeline tests: baseband file -> demod -> FEC -> CADUs
+bit-exact, and the NOAA APT analog slice. These are the framework-level
+integration oracles (SURVEY.md §4: loopback with the channel model)."""
+
+import json
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from satdump_tpu import sim
+from satdump_tpu.io import write_baseband
+from satdump_tpu.pipeline.pipeline import Pipeline, PipelineStep
+from satdump_tpu.pipeline.runner import run_pipeline
+
+
+def _qpsk_pipeline(symbolrate):
+    return Pipeline(
+        id="test_qpsk",
+        name="Test QPSK",
+        steps=[
+            PipelineStep("baseband", ""),
+            PipelineStep("soft", "psk_demod", {
+                "constellation": "qpsk", "symbolrate": symbolrate,
+                "rrc_alpha": 0.5, "pll_bw": 0.005,
+            }),
+            PipelineStep("cadu", "metop_ahrpt_decoder", {}),
+        ],
+        parameters={},
+    )
+
+
+@pytest.mark.slow
+def test_qpsk_baseband_to_cadu(tmp_path, rng):
+    """Modulate real CADUs to an impaired QPSK baseband, run the actual
+    pipeline (psk_demod -> metop decoder), demand bit-exact CADUs."""
+    samplerate, symbolrate = 220_000.0, 100_000.0  # sps = 2.2, no resampling
+    cadus = sim.make_cadus(24, rng)
+    chan_bits = sim.encode_cadu_stream(cadus)
+    syms = sim.bits_to_qpsk_symbols(chan_bits)
+    tx = sim.qpsk_modulate(syms, sps=samplerate / symbolrate)
+    chan = sim.ChannelModel(snr_db=18.0, freq_offset=3e-4, phase=0.7,
+                            gain=0.5, dc=0.02 + 0.01j, seed=3)
+    bb = chan.apply(tx)
+    bb_path = tmp_path / "test.cf32"
+    write_baseband(bb_path, "cf32", bb)
+
+    out = run_pipeline(_qpsk_pipeline(symbolrate), str(bb_path), str(tmp_path / "out"),
+                       user_params={"samplerate": samplerate,
+                                    "buffer_size": 1 << 17})
+    got = np.fromfile(out, dtype=np.uint8).reshape(-1, 1024)
+    assert len(got) >= 18, f"only {len(got)} CADUs decoded"
+    matched = sum(bool((cadus == g).all(axis=1).any()) for g in got)
+    assert matched == len(got), f"{len(got) - matched} corrupted CADUs"
+    # the soft level file exists (level contract)
+    assert (tmp_path / "out" / "test_qpsk.soft").exists()
+
+
+def _synth_apt_audio(nlines=24, audio_rate=50_000.0):
+    """Synthesize APT: per-line 39-word sync A + image pattern, words at
+    4160 Hz, AM-modulated (index ~0.85) on a 2400 Hz subcarrier."""
+    words_per_line = 2080
+    sync = (sim.np if False else __import__("numpy")).array  # noqa
+    line = np.zeros((nlines, words_per_line), np.float32)
+    from satdump_tpu.models.noaa_apt import SYNC_A
+    line[:, :len(SYNC_A)] = SYNC_A / 255.0
+    # image region: per-line gradient + line-varying bands
+    x = np.linspace(0, 1, words_per_line - 100)
+    for i in range(nlines):
+        line[i, 100:] = 0.5 + 0.45 * np.sin(2 * np.pi * (x * 3 + i / 7))
+    words = line.reshape(-1)
+    word_rate = 4160.0
+    n_audio = int(len(words) / word_rate * audio_rate)
+    t_idx = (np.arange(n_audio) * word_rate / audio_rate).astype(np.int64)
+    env = words[np.minimum(t_idx, len(words) - 1)]
+    t = np.arange(n_audio) / audio_rate
+    carrier = np.cos(2 * np.pi * 2400.0 * t)
+    return ((0.15 + 0.8 * env) * carrier).astype(np.float32), line
+
+
+def test_apt_decoder(tmp_path):
+    """Synthetic APT audio -> decoder: lines synced, image matches pattern."""
+    audio, truth = _synth_apt_audio()
+    wav_path = tmp_path / "apt.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(50000)
+        w.writeframes((audio * 32000).astype(np.int16).tobytes())
+
+    from satdump_tpu.pipeline.module import register_all_modules, module_registry
+    register_all_modules()
+    cls = module_registry.get("noaa_apt_decoder")
+    mod = cls(str(wav_path), str(tmp_path / "out" / "apt"), {"audio_samplerate": 50e3})
+    (tmp_path / "out").mkdir(exist_ok=True)
+    mod.init()
+    mod.process()
+    from satdump_tpu.image.io import load_img
+    img = load_img(tmp_path / "out" / "AVHRR" / "raw_sync.png")
+    assert img.shape[1] == 2080
+    assert img.shape[0] >= 20
+    # sync pattern must sit at the line start after sync (correlation > random)
+    from satdump_tpu.models.noaa_apt import SYNC_A
+    pat = SYNC_A - SYNC_A.mean()
+    mid_lines = img[5:-5].astype(np.float32)
+    scores = mid_lines[:, :len(SYNC_A)] @ pat
+    rand_scores = mid_lines[:, 500:500 + len(SYNC_A)] @ pat
+    assert scores.mean() > rand_scores.mean() * 2
+    # dataset.json written (products contract)
+    ds = json.loads((tmp_path / "out" / "dataset.json").read_text())
+    assert ds["products"] == ["AVHRR"]
+
+
+def test_fm_demod_module(tmp_path, rng):
+    """FM modulate a tone at 128k baseband -> fm_demod -> recovered audio."""
+    fs, audio_rate = 128_000.0, 32_000.0
+    t = np.arange(int(fs * 0.5)) / fs
+    msg = 0.6 * np.sin(2 * np.pi * 1000 * t)
+    dev = audio_rate / 2  # matches demod gain convention
+    phase = 2 * np.pi * dev * np.cumsum(msg) / fs
+    bb = (0.4 * np.exp(1j * phase)).astype(np.complex64)
+    path = tmp_path / "fm.cf32"
+    write_baseband(path, "cf32", bb)
+
+    from satdump_tpu.pipeline.module import register_all_modules, module_registry
+    register_all_modules()
+    cls = module_registry.get("fm_demod")
+    mod = cls(str(path), str(tmp_path / "fm_out"), {
+        "samplerate": fs, "symbolrate": audio_rate})
+    mod.init()
+    mod.process()
+    with wave.open(mod.d_output_file, "rb") as w:
+        assert w.getframerate() == int(audio_rate)
+        audio = np.frombuffer(w.readframes(w.getnframes()), np.int16) / 32767.0
+    # recovered tone at 1 kHz with right amplitude (skip transients)
+    a = audio[2000:-2000]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f = np.fft.rfftfreq(len(a), 1 / audio_rate)
+    peak = f[np.argmax(spec)]
+    assert abs(peak - 1000) < 20
+    # FM demod output = msg * (fs_msg/dev) scaling: amplitude ~0.6 * (dev/(sr/2))
+    assert 0.3 < np.percentile(np.abs(a), 95) < 0.9

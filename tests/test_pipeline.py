@@ -1,0 +1,114 @@
+"""Pipeline engine tests: JSON loading (own + reference files) and the
+soft->cadu decode chain end-to-end (bit-exact after FEC)."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from satdump_tpu import sim
+from satdump_tpu.pipeline.pipeline import parse_pipeline_file, Pipeline
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path("/root/reference")
+
+
+def test_parse_own_pipelines():
+    p = parse_pipeline_file(REPO / "resources/pipelines/MetOp.json")
+    assert "metop_ahrpt" in p
+    pl = p["metop_ahrpt"]
+    assert pl.steps[0].level == "baseband"
+    assert pl.steps[1].module_id == "psk_demod"
+    assert pl.steps[1].parameters["constellation"] == "qpsk"
+    assert pl.level_index("baseband") == 0
+    merged = pl.prepare_parameters(pl.steps[1], {"samplerate": 3e6})
+    assert merged["samplerate"] == 3e6
+    assert merged["symbolrate"] == 2333333
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+@pytest.mark.parametrize("fname", ["NOAA.json", "MetOp.json", "Meteor-M.json", "GOES.json"])
+def test_parse_reference_pipelines(fname):
+    """Our parser must read the reference's actual pipeline files unchanged."""
+    p = parse_pipeline_file(REFERENCE / "resources/pipelines" / fname)
+    assert len(p) >= 1
+    for pl in p.values():
+        assert pl.steps, pl.id
+        assert pl.steps[0].level in ("baseband", "file")
+
+
+def test_module_registry():
+    from satdump_tpu.pipeline.module import register_all_modules, module_registry
+    register_all_modules()
+    for mid in ["psk_demod", "noaa_apt_demod", "noaa_apt_decoder",
+                "ccsds_conv_concat_decoder", "metop_ahrpt_decoder",
+                "meteor_lrpt_decoder", "fm_demod"]:
+        assert mid in module_registry
+
+
+def _run_decoder_on_soft(tmp_path, soft, module_id="metop_ahrpt_decoder", params=None):
+    from satdump_tpu.pipeline.module import register_all_modules, module_registry
+    register_all_modules()
+    soft_path = tmp_path / "in.soft"
+    soft.astype(np.int8).tofile(soft_path)
+    cls = module_registry.get(module_id)
+    mod = cls(str(soft_path), str(tmp_path / "out"), params or {})
+    mod.init()
+    mod.process()
+    mod.stop()
+    cadus = np.fromfile(mod.d_output_file, dtype=np.uint8)
+    return cadus.reshape(-1, 1024), mod.getModuleStats()
+
+
+def test_soft_to_cadu_clean(tmp_path, rng):
+    """Ideal softs -> decoder must reproduce every CADU bit-exactly."""
+    cadus = sim.make_cadus(12, rng)
+    chan_bits = sim.encode_cadu_stream(cadus)
+    soft = sim.symbols_to_soft_int8(chan_bits)
+    got, stats = _run_decoder_on_soft(tmp_path, soft)
+    # first frame may fall inside viterbi warm-up; all locked frames bit-exact
+    assert len(got) >= 10
+    matched = sum(bool((c == g).all()) for g in got for c in cadus)
+    assert matched == len(got)
+    assert stats["viterbi_ber"] < 0.05
+
+
+def test_soft_to_cadu_phase_rotated(tmp_path, rng):
+    """90-degree rotated constellation must be found by the phase search."""
+    cadus = sim.make_cadus(8, rng)
+    chan_bits = sim.encode_cadu_stream(cadus)
+    soft = sim.symbols_to_soft_int8(chan_bits)
+    # rotate IQ pairs by 90 deg: (i,q) -> (-q, i)
+    i, q = soft[0::2].copy(), soft[1::2].copy()
+    rot = np.empty_like(soft)
+    rot[0::2], rot[1::2] = -q, i
+    got, stats = _run_decoder_on_soft(tmp_path, rot)
+    assert len(got) >= 6
+    matched = sum(bool((c == g).all()) for g in got for c in cadus)
+    assert matched == len(got)
+
+
+def test_soft_to_cadu_noisy(tmp_path, rng):
+    """Noisy softs: RS must clean residual Viterbi errors; frames bit-exact."""
+    cadus = sim.make_cadus(12, rng)
+    chan_bits = sim.encode_cadu_stream(cadus)
+    clean = sim.symbols_to_soft_int8(chan_bits).astype(np.float32)
+    noisy = clean + rng.normal(0, 55.0, clean.shape)  # ~5.2 dB Es/N0 per bit branch
+    soft = np.clip(noisy, -127, 127).astype(np.int8)
+    got, stats = _run_decoder_on_soft(tmp_path, soft)
+    assert len(got) >= 9
+    matched = sum(bool((c == g).all()) for g in got for c in cadus)
+    assert matched == len(got)
+    assert stats["rs_avg"] >= 0
+
+
+def test_soft_to_cadu_nrzm(tmp_path, rng):
+    cadus = sim.make_cadus(8, rng)
+    chan_bits = sim.encode_cadu_stream(cadus, nrzm=True)
+    soft = sim.symbols_to_soft_int8(chan_bits)
+    got, stats = _run_decoder_on_soft(
+        tmp_path, soft, module_id="meteor_lrpt_decoder", params={"diff_decode": True})
+    assert len(got) >= 6
+    matched = sum(bool((c == g).all()) for g in got for c in cadus)
+    assert matched == len(got)
