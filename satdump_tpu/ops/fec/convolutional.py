@@ -198,6 +198,38 @@ class StreamViterbi:
         return np.asarray(out, dtype=np.uint8)
 
 
+@partial(jax.jit, static_argnames=("seg", "ovl"))
+def viterbi_decode_tiled(soft: jnp.ndarray, seg: int = 1024, ovl: int = 128
+                         ) -> jnp.ndarray:
+    """Lane-parallel continuous Viterbi: decode a long stream by tiling it
+    into overlapping segments decoded simultaneously in vector lanes.
+
+    The reference decodes serially with one SIMD trellis kernel
+    (cc_decoder.cpp volk_8u_x4_conv_k7_r2_8u); on TPU the win is turning the
+    time dimension into lanes: the Viterbi algorithm is self-synchronizing,
+    so a decoder started cold converges to the ML path within a few
+    constraint lengths. Each lane decodes [l·seg − ovl, (l+1)·seg + ovl) and
+    only the owned middle `seg` bits are kept; ovl = 128 ≈ 18·K makes the
+    edge-effect error rate negligible. Sequential depth drops from T to
+    seg + 2·ovl regardless of stream length.
+
+    soft: (T, 2) float32 in [0,255]. Returns (T,) uint8 bits (T multiple of
+    seg; pad the tail with 128-erasures upstream if needed).
+    """
+    T = soft.shape[0]
+    L = T // seg
+    # lane windows with halo on both sides (zero-metric cold start)
+    idx = (jnp.arange(L)[:, None] * seg
+           + jnp.arange(-ovl, seg + ovl)[None, :])            # (L, seg+2ovl)
+    win = soft[jnp.clip(idx, 0, T - 1)]                        # (L, S, 2)
+    # erase samples outside the stream so they don't bias edge lanes
+    win = jnp.where((idx < 0)[..., None] | (idx >= T)[..., None], 128.0, win)
+    pm0 = jnp.zeros((L, NSTATES), jnp.float32)
+    pm, dec = viterbi_acs(pm0, win)
+    bits = viterbi_traceback(pm, dec)                          # (L, S)
+    return bits[:, ovl: ovl + seg].reshape(-1).astype(jnp.uint8)
+
+
 def soft_int8_to_u8(soft: np.ndarray) -> np.ndarray:
     """Signed int8 soft (-127..127, + = bit 1) -> uint8 (0..255, 128 erasure)
     (ref signed_soft_to_unsigned, codings/viterbi/utils.cpp)."""

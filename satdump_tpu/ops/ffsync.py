@@ -1,0 +1,310 @@
+"""Feedforward carrier + timing synchronization — the TPU fast path.
+
+The reference recovers carrier and symbol timing with per-sample feedback
+loops (Costas ``common/dsp/pll/costas_loop.cpp``, M&M
+``common/dsp/clock_recovery/clock_recovery_mm.cpp``) — strictly sequential
+recurrences that a vector machine cannot parallelize. This module replaces
+them with the classical *feedforward* estimators, which are embarrassingly
+parallel and map directly onto the TPU's FFT + VPU units:
+
+* carrier: FFT of x^M for the coarse frequency (M-PSK modulation stripping),
+  then per-sub-block Viterbi&Viterbi phase estimates, unwrapped and linearly
+  interpolated per sample;
+* timing: the Oerder&Meyr / squaring spectral-line estimator — the symbol-rate
+  tone of |x|^2 yields the fractional timing phase per sub-block; a linear fit
+  over sub-blocks gives (offset, clock skew); symbols are then produced by a
+  batched polyphase gather (the same interpolator bank as the reference's M&M
+  block, firdes.mm_interpolator_bank / clock_recovery_mm.cpp:18).
+
+Equivalence contract: the BASELINE demands bit-exactness only *after FEC*
+(SURVEY.md §7), which these estimators satisfy at operating SNRs; the faithful
+scan loops in costas.py / clock_recovery.py remain available for golden parity
+against the reference's soft symbols.
+
+Everything here is shape-static and jit/shard_map friendly: no data-dependent
+control flow, outputs use the fixed-capacity + valid-mask convention.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satdump_tpu.ops.firdes import mm_interpolator_bank
+
+
+# ---------------------------------------------------------------------------
+# Carrier frequency: FFT of x^M (modulation stripping)
+# ---------------------------------------------------------------------------
+def cfo_estimate(x: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Coarse+fine carrier frequency offset estimate, cycles/sample.
+
+    Raises the (unit-normalized) signal to the Mth power to strip M-PSK
+    modulation, takes the FFT, and refines the peak bin with quadratic
+    interpolation. Accurate to ~1/(10·N) cycles/sample at working SNR.
+    """
+    n = x.shape[-1]
+    u = x / jnp.maximum(jnp.abs(x), 1e-12)
+    xm = u ** order
+    X = jnp.fft.fft(xm)
+    p = jnp.abs(X)
+    k = jnp.argmax(p)
+    # quadratic peak interpolation on the magnitude spectrum
+    pm1 = p[(k - 1) % n]
+    p0 = p[k]
+    pp1 = p[(k + 1) % n]
+    denom = pm1 - 2.0 * p0 + pp1
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (pm1 - pp1) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    f = (k.astype(jnp.float32) + delta) / n
+    f = jnp.mod(f + 0.5, 1.0) - 0.5          # wrap to [-0.5, 0.5)
+    return f / order
+
+
+def cfo_correct(x: jnp.ndarray, f: jnp.ndarray, phase0: jnp.ndarray = 0.0
+                ) -> jnp.ndarray:
+    """Mix x by exp(-j(2π f n + phase0))."""
+    n = jnp.arange(x.shape[-1], dtype=jnp.float32)
+    return x * jnp.exp(-1j * (2 * jnp.pi * f * n + phase0)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Carrier phase: per-sub-block Viterbi&Viterbi, unwrapped + interpolated
+# ---------------------------------------------------------------------------
+def _wrap(a: jnp.ndarray, period: float) -> jnp.ndarray:
+    return jnp.mod(a + period / 2, period) - period / 2
+
+
+def vv_phase_track(x: jnp.ndarray, order: int, sub: int,
+                   last_phase: jnp.ndarray | None = None,
+                   const_rotation: float = 0.0
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Viterbi&Viterbi feedforward phase over sub-blocks of length `sub`.
+
+    Returns (per-sample phase estimate (N,), final phase scalar). The 2π/M
+    M-fold ambiguity is resolved *for continuity only*: each sub-block phase
+    is unwrapped relative to its neighbor (and optionally to `last_phase`
+    from the previous block), leaving one global ambiguity for the downstream
+    deframer/Viterbi phase search — same division of labor as the reference
+    (generic_correlator.h rotated-syncword replicas).
+
+    `const_rotation` is the constellation's first-point angle θ0: for points at
+    θ0 + k·2π/M, u^M carries a constant factor e^{jMθ0} (= -1 for diagonal
+    QPSK, θ0=π/4) which must be divided out before taking the argument.
+    """
+    n = x.shape[-1]
+    nsub = n // sub
+    u = x[: nsub * sub].reshape(nsub, sub)
+    un = u / jnp.maximum(jnp.abs(u), 1e-12)
+    s = jnp.sum(un ** order, axis=-1)                    # (nsub,)
+    if const_rotation:
+        s = s * jnp.exp(-1j * order * const_rotation)
+    ph = jnp.angle(s) / order                            # (-π/M, π/M]
+    period = 2 * jnp.pi / order
+
+    # unwrap: cumulative sum of wrapped diffs
+    d = _wrap(jnp.diff(ph), period)
+    first = ph[0] if last_phase is None else (
+        last_phase + _wrap(ph[0] - last_phase, period))
+    ph_u = jnp.concatenate([first[None], first + jnp.cumsum(d)])
+
+    # per-sample linear interpolation between sub-block centers
+    centers = (jnp.arange(nsub, dtype=jnp.float32) + 0.5) * sub
+    t = jnp.arange(n, dtype=jnp.float32)
+    ph_t = jnp.interp(t, centers, ph_u)
+    return ph_t, ph_u[-1]
+
+
+# ---------------------------------------------------------------------------
+# Timing: Oerder&Meyr spectral-line estimator + linear drift fit
+# ---------------------------------------------------------------------------
+def om_timing_fit(x: jnp.ndarray, sps: float, sub: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Estimate (tau0, skew) such that symbol k sits at tau0 + k·sps·(1+skew).
+
+    Per sub-block, correlate |x|² against the symbol-rate tone e^{-j2πn/sps};
+    the argument gives the local fractional timing in samples. A least-squares
+    line through the unwrapped per-sub-block estimates yields the block-wide
+    timing offset and clock skew (two scalars — this *is* the two-pass
+    "timing-estimate then resample" formulation from SURVEY.md §7).
+    """
+    n = x.shape[-1]
+    nsub = n // sub
+    e = (jnp.abs(x) ** 2)[: nsub * sub].reshape(nsub, sub)
+    ng = (jnp.arange(nsub * sub, dtype=jnp.float32)).reshape(nsub, sub)
+    tone = jnp.exp(-2j * jnp.pi * ng / sps)
+    c = jnp.sum(e.astype(jnp.complex64) * tone, axis=-1)   # (nsub,)
+    tau = -jnp.angle(c) / (2 * jnp.pi) * sps               # samples, mod sps
+
+    # unwrap modulo sps across sub-blocks
+    d = _wrap(jnp.diff(tau), sps)
+    tau_u = jnp.concatenate([tau[:1], tau[0] + jnp.cumsum(d)])
+
+    # weighted LSQ line over sub-block centers (weight = tone magnitude)
+    tc = (jnp.arange(nsub, dtype=jnp.float32) + 0.5) * sub
+    w = jnp.abs(c) + 1e-12
+    wm = jnp.sum(w)
+    tm = jnp.sum(w * tc) / wm
+    ym = jnp.sum(w * tau_u) / wm
+    cov = jnp.sum(w * (tc - tm) * (tau_u - ym))
+    var = jnp.sum(w * (tc - tm) ** 2)
+    slope = jnp.where(var > 0, cov / var, 0.0)
+    slope = jnp.clip(slope, -0.01, 0.01)          # clock skew bound (1e4 ppm)
+    tau0 = ym - slope * tm
+    return tau0, slope
+
+
+class FFClockState(NamedTuple):
+    next_pos: jnp.ndarray   # float32: position of the next symbol, in samples
+                            # relative to the start of the *current* block
+    history: jnp.ndarray    # (ntaps-1,) input tail carried between blocks
+    last_phase: jnp.ndarray  # float32: last V&V carrier phase (continuity)
+    last_f: jnp.ndarray      # float32: last CFO estimate (cycles/sample)
+    nco_phase: jnp.ndarray   # float32: CFO-removal NCO phase, carried across
+                             # blocks so the corrected signal stays
+                             # phase-continuous (else the V&V ambiguity would
+                             # re-resolve arbitrarily at every block seam)
+
+
+def ff_clock_init(ntaps: int = 8, dtype=jnp.complex64) -> FFClockState:
+    return FFClockState(
+        next_pos=jnp.zeros((), jnp.float32),
+        history=jnp.zeros((ntaps - 1,), dtype),
+        last_phase=jnp.zeros((), jnp.float32),
+        last_f=jnp.zeros((), jnp.float32),
+        nco_phase=jnp.zeros((), jnp.float32),
+    )
+
+
+def ff_resample_at(ext: jnp.ndarray, positions: jnp.ndarray, bank: jnp.ndarray,
+                   n_in: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Polyphase interpolation of `ext` (history+block) at fractional sample
+    `positions` (relative to block start). Returns (samples, valid mask).
+
+    The interpolator bank evaluated with window ext[floor(p)..floor(p)+ntaps-1]
+    produces x evaluated at p − ntaps/2 (the windowed-sinc prototype's group
+    delay — derivable from polyphase_bank's reversed-branch layout). A
+    feedback loop (M&M) absorbs this constant, but a feedforward sampler must
+    compensate, so we shift the requested positions by +ntaps/2 up front;
+    validity is still judged against the caller's coordinates.
+    """
+    nfilt, ntaps = bank.shape
+    # emission window: p ≥ −ntaps/2 reaches back into carried history; the
+    # last ntaps/2 samples need the *next* block, so they are deferred (the
+    # caller's carried next_pos re-requests them, rebased negative).
+    valid_in = (positions >= -(ntaps // 2)) & (positions < n_in - ntaps // 2)
+    positions = positions + ntaps / 2
+    ip = jnp.floor(positions)
+    frac = positions - ip
+    src = ip.astype(jnp.int32)
+    valid = valid_in & (src < n_in)
+    srcc = jnp.clip(src, 0, n_in - 1)
+    branch = jnp.clip(jnp.round(frac * nfilt).astype(jnp.int32), 0, nfilt - 1)
+    idx = srcc[:, None] + jnp.arange(ntaps)[None, :]
+    windows = ext[idx]                  # (cap, ntaps)
+    taps = bank[branch]                 # (cap, ntaps)
+    y = jnp.sum(windows * taps, axis=-1)
+    return jnp.where(valid, y, 0).astype(ext.dtype), valid
+
+
+def ff_clock_recovery(state: FFClockState, x: jnp.ndarray, *, sps: float,
+                      sub: int = 2048, bank: jnp.ndarray | None = None,
+                      out_cap: int | None = None
+                      ) -> Tuple[FFClockState, jnp.ndarray, jnp.ndarray]:
+    """Feedforward symbol-timing recovery over one block.
+
+    Returns (state', symbols[out_cap], valid[out_cap]). The symbol grid is
+    anchored to the carried `next_pos`; only the *fractional* part is snapped
+    to this block's O&M estimate, so the symbol count stays continuous across
+    block boundaries (no duplicated/dropped symbols at seams).
+    """
+    if bank is None:
+        bank = jnp.asarray(mm_interpolator_bank())
+    nfilt, ntaps = bank.shape
+    n = x.shape[-1]
+    if out_cap is None:
+        out_cap = int(np.ceil(n / sps * 1.01)) + 2
+
+    tau0, skew = om_timing_fit(x, sps, sub)
+    omega = sps * (1.0 + skew)
+
+    # snap carried next_pos to the nearest point on the estimated timing grid
+    k0 = jnp.round((state.next_pos - tau0) / omega)
+    start = tau0 + k0 * omega
+
+    k = jnp.arange(out_cap, dtype=jnp.float32)
+    positions = start + k * omega
+
+    ext = jnp.concatenate([state.history[: ntaps - 1], x])
+    syms, valid = ff_resample_at(ext, positions, bank, n)
+
+    # next symbol position after the last valid one, rebased to the next block
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    next_pos = start + n_valid.astype(jnp.float32) * omega - n
+    new_state = state._replace(next_pos=next_pos, history=ext[n:])
+    return new_state, syms, valid
+
+
+# ---------------------------------------------------------------------------
+# Composite feedforward PSK demod block (the flagship compute path)
+# ---------------------------------------------------------------------------
+def ff_psk_demod_block(state: FFClockState, x: jnp.ndarray, *, order: int,
+                       sps: float, rrc_taps: jnp.ndarray,
+                       bank: jnp.ndarray | None = None,
+                       sub_phase: int = 1024, sub_timing: int = 2048,
+                       out_cap: int | None = None
+                       ) -> Tuple[FFClockState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full feedforward PSK demod for one IQ block: AGC → RRC (overlap-save
+    FFT) → CFO removal (FFT of x^M) → V&V phase → O&M timing + polyphase
+    symbol pick. Mirrors PSKDemodModule's chain (module_psk_demod.cpp:88-137)
+    with every feedback loop replaced by its feedforward dual.
+
+    Returns (state', symbols[out_cap] complex64, valid[out_cap], snr_db).
+    NOTE: RRC history is folded into the carried sample history of the clock
+    stage; for block sizes ≫ ntaps the seam error is confined to the halo and
+    removed by the deframer (and by halo overlap in the sharded runner).
+    """
+    if bank is None:
+        bank = jnp.asarray(mm_interpolator_bank())
+    n = x.shape[-1]
+
+    # block AGC: normalize to unit mean magnitude
+    g = 1.0 / jnp.maximum(jnp.mean(jnp.abs(x)), 1e-12)
+    x = x * g.astype(x.dtype)
+
+    # matched filter (causal overlap-save FFT, zero history — the halo covers it)
+    ntaps_rrc = rrc_taps.shape[0]
+    nfft = max(256, 1 << int(np.ceil(np.log2(n + ntaps_rrc - 1))))
+    X = jnp.fft.fft(x, nfft)
+    H = jnp.fft.fft(rrc_taps.astype(jnp.float32), nfft)
+    xf = jnp.fft.ifft(X * H)[: n].astype(jnp.complex64)
+
+    # carrier: coarse CFO + fine V&V phase (continuity-carried). Diagonal
+    # QPSK (points at ±45°/±135°, the soft-symbol convention of
+    # module_psk_demod.cpp:203-213) puts u^4 at e^{jπ}: pass θ0 = π/4.
+    f = cfo_estimate(xf, order)
+    xc = cfo_correct(xf, f, state.nco_phase)
+    nco = jnp.mod(state.nco_phase + 2 * jnp.pi * f * n, 2 * jnp.pi)
+    theta0 = float(np.pi / 4) if order == 4 else 0.0
+    ph_t, last_ph = vv_phase_track(xc, order, sub_phase, state.last_phase,
+                                   const_rotation=theta0)
+    xp = xc * jnp.exp(-1j * ph_t).astype(xc.dtype)
+
+    # timing + symbol pick
+    state2, syms, valid = ff_clock_recovery(
+        state._replace(last_phase=last_ph, last_f=f, nco_phase=nco), xp,
+        sps=sps, sub=sub_timing, bank=bank, out_cap=out_cap)
+
+    # SNR on the picked symbols (M2M4, as the reference's estimator)
+    p = jnp.abs(jnp.where(valid, syms, 0)) ** 2
+    cnt = jnp.maximum(jnp.sum(valid), 1)
+    m2 = jnp.sum(p) / cnt
+    m4 = jnp.sum(p ** 2) / cnt
+    es = jnp.sqrt(jnp.maximum(2 * m2 * m2 - m4, 0.0))
+    noise = jnp.maximum(m2 - es, 1e-20)
+    snr = 10.0 * jnp.log10(jnp.maximum(es / noise, 1e-20))
+    return state2, syms, valid, snr

@@ -18,7 +18,7 @@ import numpy as np
 
 from satdump_tpu.core.exceptions import PipelineError
 from satdump_tpu.core.log import logger
-from satdump_tpu.ops import clock_recovery, costas, fir, firdes, resamp, stages
+from satdump_tpu.ops import clock_recovery, costas, ffsync, fir, firdes, resamp, stages
 from satdump_tpu.pipeline.module import register_module
 from satdump_tpu.pipeline.modules.demod.base import BaseDemodModule
 
@@ -48,6 +48,9 @@ class PSKDemodModule(BaseDemodModule):
         if self.is_oqpsk:
             self.MIN_SPS, self.MAX_SPS = 1.6, 2.4
         self.block_base = int(self.param("buffer_size", 0) or (1 << 18))
+        # `fast: true` selects the feedforward sync chain (ops/ffsync.py) —
+        # no per-sample recurrences; the TPU throughput path.
+        self.fast = bool(self.param("fast", False))
 
     # -- the jitted per-block chain -----------------------------------------
     def _build(self):
@@ -81,6 +84,35 @@ class PSKDemodModule(BaseDemodModule):
         gain_omega, gain_mu = self.clock_gain_omega, self.clock_gain_mu
         omega_limit = self.clock_omega_limit
         mm_out_cap = int(np.ceil(out_n / (sps * (1 - omega_limit)))) + 2
+
+        if self.fast:
+            if self.is_oqpsk:
+                raise PipelineError("fast sync does not support OQPSK yet")
+            order = _ORDER[self.constellation]
+            ff_cap = int(np.ceil(out_n / (sps * 0.99))) + 2
+
+            def fast_step(state, x):
+                fs_st, dc_st, rs_st, ff_st = state
+                if do_shift:
+                    fs_st, x = stages.freq_shift(fs_st, x, shift_delta)
+                if dc_block:
+                    dc_st, x = stages.dc_block(dc_st, x, alpha=1e-4)
+                if do_resample:
+                    rs_st, x, _valid = resamp.rational_resampler(
+                        rs_st, x, r_bank, interp, decim, out_cap=out_n)
+                ff_st, syms, valid, snr = ffsync.ff_psk_demod_block(
+                    ff_st, x, order=order, sps=sps, rrc_taps=taps, bank=bank,
+                    out_cap=ff_cap)
+                return (fs_st, dc_st, rs_st, ff_st), syms, valid, snr
+
+            self._step = jax.jit(fast_step, donate_argnums=0)
+            self._state = (
+                stages.freq_shift_init(),
+                stages.dc_block_init(),
+                resamp.rational_resampler_init(interp, r_bank.shape[1] if do_resample else 8),
+                ffsync.ff_clock_init(),
+            )
+            return
 
         def step(state, x):
             (fs_st, dc_st, rs_st, agc_st, fir_st, cs_st, pdc_st, dly_st, mm_st) = state

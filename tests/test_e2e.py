@@ -57,6 +57,33 @@ def test_qpsk_baseband_to_cadu(tmp_path, rng):
     assert (tmp_path / "out" / "test_qpsk.soft").exists()
 
 
+@pytest.mark.slow
+def test_qpsk_baseband_to_cadu_fast_sync(tmp_path, rng):
+    """Same loopback as above but through the feedforward sync chain
+    (ops/ffsync.py, `fast: true`) — the TPU throughput path. Bit-exactness
+    after FEC is the equivalence contract (SURVEY.md §7)."""
+    samplerate, symbolrate = 220_000.0, 100_000.0
+    cadus = sim.make_cadus(24, rng)
+    chan_bits = sim.encode_cadu_stream(cadus)
+    syms = sim.bits_to_qpsk_symbols(chan_bits)
+    tx = sim.qpsk_modulate(syms, sps=samplerate / symbolrate)
+    chan = sim.ChannelModel(snr_db=18.0, freq_offset=3e-4, phase=0.7,
+                            gain=0.5, dc=0.02 + 0.01j, seed=5)
+    bb = chan.apply(tx)
+    bb_path = tmp_path / "test.cf32"
+    write_baseband(bb_path, "cf32", bb)
+
+    pipe = _qpsk_pipeline(symbolrate)
+    pipe.steps[1].parameters["fast"] = True
+    out = run_pipeline(pipe, str(bb_path), str(tmp_path / "out"),
+                       user_params={"samplerate": samplerate,
+                                    "buffer_size": 1 << 17})
+    got = np.fromfile(out, dtype=np.uint8).reshape(-1, 1024)
+    assert len(got) >= 18, f"only {len(got)} CADUs decoded"
+    matched = sum(bool((cadus == g).all(axis=1).any()) for g in got)
+    assert matched == len(got), f"{len(got) - matched} corrupted CADUs"
+
+
 def _synth_apt_audio(nlines=24, audio_rate=50_000.0):
     """Synthesize APT: per-line 39-word sync A + image pattern, words at
     4160 Hz, AM-modulated (index ~0.85) on a 2400 Hz subcarrier."""

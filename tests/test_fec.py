@@ -233,3 +233,22 @@ def test_deframer_streaming_and_inversion(rng):
 def test_crc_ccitt_vector():
     # standard CRC-CCITT (FALSE) check value for "123456789"
     assert crc.crc_ccitt.compute(b"123456789") == 0x29B1
+
+
+def test_viterbi_tiled_matches_full(rng):
+    """Lane-parallel tiled Viterbi (the TPU throughput path) must match the
+    full sequential decode at and below the operating noise level."""
+    import jax.numpy as jnp
+    from satdump_tpu.ops.fec import convolutional as cc
+
+    T = 8192
+    bits = rng.integers(0, 2, T).astype("uint8")
+    enc = cc.conv_encode_batch(bits)
+    for sigma, max_ber in ((60.0, 0.0), (100.0, 0.02)):
+        soft = (enc.astype("float32") * 255
+                + rng.normal(0, sigma, (2 * T,))).clip(0, 255).reshape(T, 2)
+        tiled = cc.viterbi_decode_tiled(jnp.asarray(soft), seg=1024, ovl=128)
+        full, _ = cc.viterbi_decode_block(jnp.asarray(soft))
+        ber_t = (tiled != bits).mean()
+        ber_f = (full[0] != bits).mean()
+        assert ber_t <= max(float(ber_f) * 1.1, max_ber), (sigma, ber_t, ber_f)
