@@ -1,0 +1,152 @@
+"""Per-stage throughput benchmark harness.
+
+Mirrors the reference's ``satdump dsp_bench`` (src-core/dsp/benchmark/
+bench.cpp:33-47 — categories fft_ddc/gardner/agc/costas/rrc/mm_recovery/
+splitter/freq_shift/resamplers) plus this framework's own hot kernels
+(feedforward sync, Viterbi). Each category builds one jitted step over an
+n-sample block and measures samples/s.
+
+Timing methodology: the axon TPU tunnel's ``block_until_ready`` does NOT
+synchronize (dispatch is fire-and-forget; only a device->host fetch joins
+the stream). Every measurement therefore *fetches a small f32 scalar*
+derived from the stage output, and throughput is computed from the runtime
+difference between K2-iteration and K1-iteration scan programs, cancelling
+the fixed dispatch+fetch overhead. On CPU/GPU the same path works and the
+fetch is cheap.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+DEFAULT_N = 1 << 20
+
+
+def _scan_program(stage: Callable, combine_input: bool):
+    """Wrap `stage(x) -> array` into jit(pairs,K-scan) -> f32 scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(xs_pairs):
+        # xs_pairs: (K, n, 2) f32 (complex as pairs: raw complex64 h2d
+        # poisons later d2h on the axon tunnel — see utils/xfer.py)
+        def body(acc, p):
+            x = (p[..., 0] + 1j * p[..., 1]).astype(jnp.complex64) \
+                if combine_input else p[..., 0]
+            y = stage(x)
+            return acc + jnp.sum(jnp.real(y).astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_pairs)
+        return acc
+
+    return jax.jit(run)
+
+
+def _measure(stage: Callable, n: int, *, complex_input: bool = True,
+             k1: int = 2, k2: int = 10, reps: int = 3) -> float:
+    """Return samples/s for one stage."""
+    import jax
+
+    rng = np.random.default_rng(0xBE7C)
+    xs = rng.standard_normal((k2, n, 2)).astype(np.float32) * 0.5
+    d = jax.device_put(xs)
+    d1 = jax.device_put(xs[:k1])
+
+    f1 = _scan_program(stage, complex_input)
+    f2 = _scan_program(stage, complex_input)
+
+    def timed(f, a):
+        t0 = time.perf_counter()
+        v = float(np.asarray(f(a)))  # fetch = the only real sync on axon
+        return time.perf_counter() - t0, v
+
+    # compile + warm
+    timed(f1, d1)
+    timed(f2, d)
+    t1 = min(timed(f1, d1)[0] for _ in range(reps))
+    t2 = min(timed(f2, d)[0] for _ in range(reps))
+    dt = max(t2 - t1, 1e-9)
+    return n * (k2 - k1) / dt
+
+
+def _categories(n: int) -> Dict[str, dict]:
+    import jax.numpy as jnp
+
+    from satdump_tpu.ops import ffsync, stages
+    from satdump_tpu.ops.fec import convolutional as cc
+    from satdump_tpu.ops.fir import fir_apply, fir_init
+    from satdump_tpu.ops.firdes import (low_pass, mm_interpolator_bank,
+                                        root_raised_cosine)
+
+    rrc = root_raised_cosine(1.0, 2.0, 1.0, 0.5, 31)
+    lp = low_pass(1.0, 8.0, 1.5, 0.5) if callable(low_pass) else None
+    bank = mm_interpolator_bank()
+
+    cats: Dict[str, dict] = {
+        "freq_shift": dict(fn=lambda x: stages.freq_shift(
+            stages.freq_shift_init(), x, 0.1)[1]),
+        "agc": dict(fn=lambda x: stages.agc_block(
+            stages.agc_init(), x)[1]),
+        "rrc": dict(fn=lambda x: fir_apply(fir_init(31), x, jnp.asarray(rrc))[1]),
+        "quadrature_demod": dict(fn=lambda x: stages.quadrature_demod(
+            stages.quadrature_demod_init(), x)[1]),
+        "snr_est": dict(fn=lambda x: stages.snr_m2m4(x)),
+        "ff_cfo": dict(fn=lambda x: ffsync.cfo_estimate(x, 4)),
+        "ff_timing": dict(fn=lambda x: ffsync.om_timing_fit(x, 2.0, 512)[0]),
+        "ff_qpsk_full": dict(fn=_ff_full(n, rrc, bank)),
+        "viterbi_k7": dict(fn=_viterbi_stage(n), complex_input=False),
+    }
+    return cats
+
+
+def _ff_full(n, rrc, bank):
+    import jax.numpy as jnp
+
+    from satdump_tpu.ops import ffsync
+    cap = int(np.ceil(n / (2.0 * 0.99))) + 2
+
+    def fn(x):
+        _, syms, valid, _ = ffsync.ff_psk_demod_block(
+            ffsync.ff_clock_init(), x, order=4, sps=2.0, rrc_taps=rrc,
+            bank=bank, out_cap=cap)
+        return jnp.abs(syms)
+
+    return fn
+
+
+def _viterbi_stage(n):
+    import jax.numpy as jnp
+
+    from satdump_tpu.ops.fec import convolutional as cc
+    nbits = min(n, 1 << 18)
+    nbits = (nbits // 1024) * 1024
+
+    def fn(xr):
+        u = (jnp.clip(xr[: nbits * 2] * 100.0, -127, 127) + 128.0)
+        return cc.viterbi_decode_tiled(u.reshape(-1, 2), seg=1024, ovl=128
+                                       ).astype(jnp.float32)
+
+    return fn
+
+
+def run_bench(categories: Optional[List[str]] = None, n: int = DEFAULT_N
+              ) -> Dict[str, float]:
+    cats = _categories(n)
+    results: Dict[str, float] = {}
+    for name, spec in cats.items():
+        if categories and name not in categories:
+            continue
+        try:
+            sps = _measure(spec["fn"], n,
+                           complex_input=spec.get("complex_input", True))
+            results[name] = sps
+            print(json.dumps({"category": name, "samples_per_sec": round(sps),
+                              "msps": round(sps / 1e6, 2)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"category": name, "error": str(e)[:120]}),
+                  flush=True)
+    return results

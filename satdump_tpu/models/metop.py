@@ -1,0 +1,130 @@
+"""MetOp instruments decoder: .cadu -> per-instrument products.
+
+Reference: plugins/noaa_metop_support/metop/module_metop_instruments.cpp
+(VCID demux wiring :42-138, products assembly :163-240) and
+instruments/avhrr/avhrr_reader.cpp. Round-1 scope: AVHRR/3 (the headline
+imager); the reader model generalizes to MHS/AMSU/IASI in later passes.
+
+TPU-native shape: packets are *collected* per instrument during the (host,
+frame-rate) demux pass, then each reader converts all lines in one batched
+NumPy/JAX pass (bit repack + deinterleave over the whole pass at once) —
+no per-pixel loops.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+from satdump_tpu.ccsds import CCSDSPacket, Demuxer, parse_ccsds_time, parse_vcdu
+from satdump_tpu.core.log import logger
+from satdump_tpu.pipeline.module import ProcessingModule, register_module
+from satdump_tpu.products.image_product import ImageProduct
+from satdump_tpu.products.product import DataSet
+from satdump_tpu.utils.repack import repack_10bit
+
+METOP_SCIDS = {12: ("MetOp-A", 29499), 11: ("MetOp-B", 38771),
+               13: ("MetOp-C", 43689)}
+
+AVHRR_WAVENUMBERS = [0.0, 0.0, 2669.12, 928.81, 831.53, 0.0]  # ch 3b,4,5 IR
+
+
+class AVHRRReader:
+    """AVHRR/3 HRPT line reader (ref avhrr_reader.cpp work_metop/line2image):
+    MetOp AVHRR packets (APID 103 = ch3a, 104 = ch3b) carry one 2048-pixel
+    scanline of 5 interleaved 10-bit channels at word offset 55 after a
+    14-byte header. 6 output channels (1, 2, 3a, 3b, 4, 5)."""
+
+    WIDTH = 2048
+
+    def __init__(self):
+        self._payloads: List[bytes] = []
+        self._is_ch3a: List[bool] = []
+        self.timestamps: List[float] = []
+
+    def work(self, pkt: CCSDSPacket) -> None:
+        if len(pkt.payload) < 12960:
+            return
+        self._payloads.append(bytes(pkt.payload[:12960]))
+        self._is_ch3a.append(pkt.header.apid == 103)
+        # CDS time, epoch days since 1970 offset by 10957 (avhrr_reader.cpp:31)
+        self.timestamps.append(parse_ccsds_time(pkt, 10957 * 86400))
+
+    @property
+    def lines(self) -> int:
+        return len(self._payloads)
+
+    def channels(self) -> List[np.ndarray]:
+        """Batched decode of all collected lines -> 6 (lines, 2048) uint16."""
+        n = len(self._payloads)
+        chans = [np.zeros((n, self.WIDTH), np.uint16) for _ in range(6)]
+        if n == 0:
+            return chans
+        raw = np.frombuffer(b"".join(self._payloads), np.uint8).reshape(n, 12960)
+        words = repack_10bit(raw[:, 14: 14 + 12944])      # (n, 10355)
+        ch3a = np.asarray(self._is_ch3a)
+        # image zone: words[55 : 55+2048*5], pixel-interleaved 5 channels
+        img = words[:, 55: 55 + self.WIDTH * 5].reshape(n, self.WIDTH, 5) << 6
+        # physical channel slot -> output index (1,2 fixed; 3rd slot is
+        # 3a or 3b; remaining shift by one) — avhrr_reader.cpp line2image
+        for slot in range(5):
+            out_a = slot + (1 if slot > 2 else 0)   # ch3a lines
+            out_b = slot + (1 if slot > 1 else 0)   # ch3b lines
+            if out_a == out_b:
+                chans[out_a] = img[:, :, slot].astype(np.uint16)
+            else:
+                chans[out_a][ch3a] = img[ch3a, :, slot]
+                chans[out_b][~ch3a] = img[~ch3a, :, slot]
+        return chans
+
+
+@register_module
+class MetOpInstrumentsDecoderModule(ProcessingModule):
+    """cadu -> instrument products (ref module_metop_instruments.cpp)."""
+
+    id = "metop_instruments"
+
+    def process(self):
+        avhrr = AVHRRReader()
+        demux_vcid9 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
+        scids: List[int] = []
+
+        cadus = np.fromfile(self.d_input_file, np.uint8)
+        cadus = cadus[: len(cadus) // 1024 * 1024].reshape(-1, 1024)
+        for cadu in cadus:
+            vcdu = parse_vcdu(cadu)
+            if vcdu.spacecraft_id in METOP_SCIDS:
+                scids.append(vcdu.spacecraft_id)
+            if vcdu.vcid == 9:  # AVHRR/3
+                for pkt in demux_vcid9.work(bytes(cadu)):
+                    if pkt.header.apid in (103, 104):
+                        avhrr.work(pkt)
+
+        scid = max(set(scids), key=scids.count) if scids else -1
+        sat_name, norad = METOP_SCIDS.get(scid, ("Unknown MetOp", 0))
+        logger.info(f"MetOp instruments: {sat_name}, AVHRR lines {avhrr.lines}")
+
+        out_dir = Path(self.d_output_file_hint).parent
+        ds = DataSet(sat_name, float(np.median(
+            [t for t in avhrr.timestamps if t > 0]) if avhrr.timestamps else -1))
+
+        if avhrr.lines:
+            p = ImageProduct()
+            p.instrument_name = "avhrr_3"
+            names = ["1", "2", "3a", "3b", "4", "5"]
+            for i, ch in enumerate(avhrr.channels()):
+                p.add_channel(ch, names[i], bit_depth=16,
+                              wavenumber=AVHRR_WAVENUMBERS[i])
+            p.set_proj_cfg_tle_timestamps(
+                {"type": "normal_line", "scan_angle": 110.6,
+                 "image_width": 2048, "timestamp_offset": -0.3,
+                 "norad": norad},
+                {"name": sat_name, "norad": norad},
+                avhrr.timestamps)
+            p.save(str(out_dir / "AVHRR"))
+            ds.products_list.append("AVHRR")
+
+        self.d_output_file = ds.save(str(out_dir))
+        self.stats = {"avhrr_lines": avhrr.lines, "satellite": sat_name}

@@ -23,6 +23,7 @@ import numpy as np
 from satdump_tpu.core.log import logger
 from satdump_tpu.ops import firdes, resamp, stages
 from satdump_tpu.pipeline.module import ProcessingModule, register_module
+from satdump_tpu.utils import xfer
 
 APT_IMG_WIDTH = 2080
 APT_OVERS = 4
@@ -48,7 +49,7 @@ class NOAAAPTDecoderModule(ProcessingModule):
         target = APT_WORD_RATE * APT_OVERS
         interp, decim = resamp.make_rational(self.audio_rate, target)
         proto = resamp.design_resampler_taps(interp, decim)
-        bank = jnp.asarray(firdes.polyphase_bank(proto, interp))
+        bank = firdes.polyphase_bank(proto, interp)  # host np const
 
         def run(x):
             # real -> complex, shift the 2.4 kHz subcarrier to baseband
@@ -61,8 +62,8 @@ class NOAAAPTDecoderModule(ProcessingModule):
                                                     out_cap=n_out + 1)
             return jnp.abs(y), valid
 
-        mag, valid = jax.jit(run)(jnp.asarray(audio))
-        return np.asarray(mag)[np.asarray(valid)]
+        mag, valid = jax.jit(run)(xfer.put(audio))
+        return xfer.get(mag)[xfer.get(valid)]
 
     def _sync_lines(self, env: np.ndarray) -> np.ndarray:
         """env at 4x word rate -> (lines, 2080) synced image, uint8."""

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from satdump_tpu.ops.firdes import mm_interpolator_bank
+from satdump_tpu.utils import xfer
 
 
 class MMState(NamedTuple):
@@ -37,9 +38,9 @@ def mm_init(omega: float, mu: float = 0.5, ntaps: int = 8,
         mu=jnp.asarray(mu, jnp.float32),
         omega=jnp.asarray(omega, jnp.float32),
         inc=jnp.zeros((), jnp.int32),
-        history=jnp.zeros((ntaps - 1,), dtype),
-        p_regs=jnp.zeros((3,), jnp.complex64),
-        c_regs=jnp.zeros((3,), jnp.complex64),
+        history=xfer.zeros((ntaps - 1,), dtype),
+        p_regs=xfer.zeros((3,), jnp.complex64),
+        c_regs=xfer.zeros((3,), jnp.complex64),
         last_sample=jnp.zeros((), jnp.float32),
     )
 
@@ -66,7 +67,7 @@ def mm_clock_recovery(state: MMState, x: jnp.ndarray, *,
     valid count are zeros. out_cap defaults to ceil(n / (omega_mid*(1-limit)))+2.
     """
     if bank is None:
-        bank = jnp.asarray(mm_interpolator_bank())
+        bank = mm_interpolator_bank()  # host np: device-resident closure consts break axon lowering
     nfilt, ntaps = bank.shape
     n = x.shape[-1]
     if out_cap is None:

@@ -195,7 +195,8 @@ class StreamViterbi:
         T = soft.shape[1]
         self.dec_tail = window[-D:]
         out = bits[:, :T]
-        return np.asarray(out, dtype=np.uint8)
+        from satdump_tpu.utils import xfer
+        return xfer.get(out).astype(np.uint8)
 
 
 @partial(jax.jit, static_argnames=("seg", "ovl"))

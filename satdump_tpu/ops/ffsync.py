@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from satdump_tpu.ops.firdes import mm_interpolator_bank
+from satdump_tpu.utils import xfer
 
 
 # ---------------------------------------------------------------------------
@@ -173,7 +174,7 @@ class FFClockState(NamedTuple):
 def ff_clock_init(ntaps: int = 8, dtype=jnp.complex64) -> FFClockState:
     return FFClockState(
         next_pos=jnp.zeros((), jnp.float32),
-        history=jnp.zeros((ntaps - 1,), dtype),
+        history=xfer.zeros((ntaps - 1,), dtype),
         last_phase=jnp.zeros((), jnp.float32),
         last_f=jnp.zeros((), jnp.float32),
         nco_phase=jnp.zeros((), jnp.float32),
@@ -193,6 +194,9 @@ def ff_resample_at(ext: jnp.ndarray, positions: jnp.ndarray, bank: jnp.ndarray,
     validity is still judged against the caller's coordinates.
     """
     nfilt, ntaps = bank.shape
+    # (convert inside the trace: host-np constants embed without the D2H
+    # fetch that breaks lowering on the axon tunnel backend)
+    bank = jnp.asarray(bank)
     # emission window: p ≥ −ntaps/2 reaches back into carried history; the
     # last ntaps/2 samples need the *next* block, so they are deferred (the
     # caller's carried next_pos re-requests them, rebased negative).
@@ -223,7 +227,7 @@ def ff_clock_recovery(state: FFClockState, x: jnp.ndarray, *, sps: float,
     block boundaries (no duplicated/dropped symbols at seams).
     """
     if bank is None:
-        bank = jnp.asarray(mm_interpolator_bank())
+        bank = mm_interpolator_bank()  # host np: device-resident closure consts break axon lowering
     nfilt, ntaps = bank.shape
     n = x.shape[-1]
     if out_cap is None:
@@ -269,7 +273,7 @@ def ff_psk_demod_block(state: FFClockState, x: jnp.ndarray, *, order: int,
     removed by the deframer (and by halo overlap in the sharded runner).
     """
     if bank is None:
-        bank = jnp.asarray(mm_interpolator_bank())
+        bank = mm_interpolator_bank()  # host np: device-resident closure consts break axon lowering
     n = x.shape[-1]
 
     # block AGC: normalize to unit mean magnitude

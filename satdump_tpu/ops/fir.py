@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+from satdump_tpu.utils import xfer
 import numpy as np
 
 
@@ -19,7 +20,7 @@ class FIRState(NamedTuple):
 
 
 def fir_init(ntaps: int, dtype=jnp.complex64) -> FIRState:
-    return FIRState(jnp.zeros((ntaps - 1,), dtype))
+    return FIRState(xfer.zeros((ntaps - 1,), dtype))
 
 
 def _next_pow2(n: int) -> int:

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from satdump_tpu.ops.firdes import low_pass, polyphase_bank, windowed_sinc
+from satdump_tpu.utils import xfer
 
 
 def design_resampler_taps(interp: int, decim: int, ntaps_per_phase: int = 8) -> np.ndarray:
@@ -38,7 +39,7 @@ class RationalResamplerState(NamedTuple):
 def rational_resampler_init(interp: int, ntaps_per_phase: int = 8,
                             dtype=jnp.complex64) -> RationalResamplerState:
     return RationalResamplerState(
-        history=jnp.zeros((ntaps_per_phase - 1,), dtype),
+        history=xfer.zeros((ntaps_per_phase - 1,), dtype),
         pos_num=jnp.zeros((), jnp.int32),
     )
 
@@ -58,6 +59,7 @@ def rational_resampler(state: RationalResamplerState, x: jnp.ndarray,
     """
     L, ntaps = bank.shape
     assert L == interp
+    bank = jnp.asarray(bank)  # in-trace: np consts embed w/o axon D2H fetch
     n = x.shape[-1]
     if out_cap is None:
         out_cap = int(np.ceil(n * interp / decim)) + 1

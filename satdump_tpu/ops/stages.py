@@ -13,6 +13,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from satdump_tpu.utils import xfer
 
 
 # ---------------------------------------------------------------------------
@@ -44,7 +45,7 @@ class DCBlockState(NamedTuple):
 
 
 def dc_block_init(dtype=jnp.complex64) -> DCBlockState:
-    return DCBlockState(jnp.zeros((), dtype))
+    return DCBlockState(xfer.zeros((), dtype))
 
 
 def dc_block(state: DCBlockState, x: jnp.ndarray, alpha: float = 0.0001
@@ -138,7 +139,7 @@ class QuadDemodState(NamedTuple):
 
 
 def quadrature_demod_init() -> QuadDemodState:
-    return QuadDemodState(jnp.ones((), jnp.complex64))
+    return QuadDemodState(xfer.ones((), jnp.complex64))
 
 
 def quadrature_demod(state: QuadDemodState, x: jnp.ndarray, gain: float

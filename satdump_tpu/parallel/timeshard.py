@@ -87,8 +87,8 @@ def build_sharded_qpsk_step(mesh: Mesh, *, sps: float, block: int,
     This is the framework's "full training step" analogue: demod + FEC over
     the whole mesh in one XLA program, halos and seam-stitching riding ICI.
     """
-    rrc = jnp.asarray(root_raised_cosine(1.0, sps, 1.0, rrc_alpha, rrc_ntaps))
-    bank = jnp.asarray(mm_interpolator_bank())
+    rrc = root_raised_cosine(1.0, sps, 1.0, rrc_alpha, rrc_ntaps)  # host np const
+    bank = mm_interpolator_bank()  # host np const
     nfilt, ntaps = bank.shape
     n_ext = halo + block
     cap = int(np.ceil(block / (sps * 0.99))) + 4

@@ -19,6 +19,7 @@ import numpy as np
 from satdump_tpu.ops.fec import convolutional as cc
 from satdump_tpu.ops.fec.rotation import (PHASE_0, PHASE_90, PHASE_180,
                                           PHASE_270, rotate_soft)
+from satdump_tpu.utils import xfer
 
 TEST_BITS = 2048  # soft values in the BER test window (ref TEST_BITS_LENGTH)
 
@@ -71,8 +72,8 @@ class Viterbi12Sync:
                     windows.append(w)
         W = np.stack(windows).astype(np.float32)         # (H, TEST-2)
         softs = W.reshape(len(hyps), -1, 2)
-        bits, _ = cc.viterbi_decode_block(jnp.asarray(softs))
-        bits = np.asarray(bits, np.uint8)                # (H, T)
+        bits, _ = cc.viterbi_decode_block(xfer.put(softs))
+        bits = xfer.get(bits).astype(np.uint8)          # (H, T)
         reenc = cc.conv_encode_batch(bits)               # (H, 2T)
         best_i, best_ber = -1, 10.0
         for i, (ph, shift, swap) in enumerate(hyps):
@@ -109,7 +110,7 @@ class Viterbi12Sync:
         if n_pairs == 0:
             return np.zeros(0, np.uint8)
         pairs = buf[: n_pairs * 2].astype(np.float32).reshape(1, n_pairs, 2)
-        bits = self._stream.decode(jnp.asarray(pairs))[0]
+        bits = self._stream.decode(xfer.put(pairs))[0]
 
         # BER check on the first TEST_BITS of this buffer via re-encode
         # (ref viterbi_1_2.cpp:105-122) — note the streamed bits lag by D,

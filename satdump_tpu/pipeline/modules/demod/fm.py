@@ -17,6 +17,7 @@ from satdump_tpu.core.log import logger
 from satdump_tpu.ops import firdes, resamp, stages
 from satdump_tpu.pipeline.module import register_module
 from satdump_tpu.pipeline.modules.demod.base import BaseDemodModule
+from satdump_tpu.utils import xfer
 
 
 @register_module
@@ -42,7 +43,7 @@ class FMDemodModule(BaseDemodModule):
         if (self.block_size * interp) % decim:
             self.block_size *= decim // math.gcd(self.block_size, decim)
         proto = resamp.design_resampler_taps(interp, decim)
-        r_bank = jnp.asarray(firdes.polyphase_bank(proto, interp))
+        r_bank = firdes.polyphase_bank(proto, interp)  # host np const
         out_n = self.block_size * interp // decim
         agc_rate = self.d_agc_rate
         dc_block = self.d_dc_block
@@ -82,8 +83,8 @@ class FMDemodModule(BaseDemodModule):
         w.setframerate(int(self.audio_rate))
         n_out = 0
         for blk in reader.blocks():
-            self._state, y = self._step(self._state, jnp.asarray(blk.samples))
-            audio = np.asarray(y)
+            self._state, y = self._step(self._state, xfer.put(blk.samples))
+            audio = xfer.get(y)
             if blk.last and blk.valid < self.block_size:
                 keep = int(len(audio) * blk.valid / self.block_size)
                 audio = audio[:keep]

@@ -21,6 +21,7 @@ from satdump_tpu.core.log import logger
 from satdump_tpu.ops import clock_recovery, costas, ffsync, fir, firdes, resamp, stages
 from satdump_tpu.pipeline.module import register_module
 from satdump_tpu.pipeline.modules.demod.base import BaseDemodModule
+from satdump_tpu.utils import xfer
 
 _ORDER = {"bpsk": 2, "qpsk": 4, "oqpsk": 4, "8psk": 8}
 
@@ -60,8 +61,8 @@ class PSKDemodModule(BaseDemodModule):
         rrc = firdes.root_raised_cosine(
             1.0, self.final_samplerate, self.d_symbolrate, self.rrc_alpha, self.rrc_taps)
         self.rrc_ntaps = len(rrc)
-        taps = jnp.asarray(rrc)
-        bank = jnp.asarray(firdes.mm_interpolator_bank())
+        taps = rrc  # host np: device consts break axon lowering
+        bank = firdes.mm_interpolator_bank()
         sps = self.final_sps
         do_shift = self.d_frequency_shift != 0
         shift_delta = 2 * np.pi * self.d_frequency_shift / self.d_samplerate
@@ -69,7 +70,7 @@ class PSKDemodModule(BaseDemodModule):
         if do_resample:
             interp, decim = resamp.make_rational(self.d_samplerate, self.final_samplerate)
             r_proto = resamp.design_resampler_taps(interp, decim)
-            r_bank = jnp.asarray(firdes.polyphase_bank(r_proto, interp))
+            r_bank = firdes.polyphase_bank(r_proto, interp)
             r_ntaps = r_bank.shape[1]
             out_n = self.block_size * interp // decim
         else:
@@ -162,8 +163,8 @@ class PSKDemodModule(BaseDemodModule):
         peak_snr = -100.0
         with open(out_path, "wb") as f:
             for blk in reader.blocks():
-                self._state, syms, valid, snr = self._step(self._state, jnp.asarray(blk.samples))
-                s = np.asarray(syms)[np.asarray(valid)]
+                self._state, syms, valid, snr = self._step(self._state, xfer.put(blk.samples))
+                s = xfer.get(syms)[xfer.get(valid)]
                 if blk.last and blk.valid < self.block_size:
                     # padded tail: drop symbols sourced from the zero padding
                     keep = int(len(s) * blk.valid / self.block_size) + 2
@@ -171,7 +172,7 @@ class PSKDemodModule(BaseDemodModule):
                 snr_v = float(snr)
                 peak_snr = max(peak_snr, snr_v)
                 if self.is_bpsk:
-                    out = np.asarray(stages.bpsk_soft(jnp.asarray(s.real), 50.0))
+                    out = xfer.get(stages.bpsk_soft(xfer.put(s.real), 50.0))
                 else:
                     out = np.empty(2 * len(s), np.int8)
                     out[0::2] = np.clip(s.real * 100.0, -127, 127).astype(np.int8)

@@ -1,0 +1,119 @@
+"""Host<->device transfer shims for the axon TPU tunnel.
+
+The tunnel backend (JAX platform "axon") has a transfer quirk: a complex64
+host->device transfer permanently breaks every later device->host transfer in
+the process ("UNIMPLEMENTED: TPU backend error"), and some non-f32 fetches
+are unreliable. Device-side complex math is fine — only the *transfers* are.
+
+Workaround (this module):
+* upload complex as an f32 (..., 2) pair and combine on device inside a jit;
+* download via an on-device conversion to float32 (astype for small ints,
+  bitcast for int32/uint32 exactness, real/imag pair for complex), then cast
+  back on host.
+
+On every other platform these helpers degrade to plain asarray/device_put.
+All pipeline modules cross the boundary through `put()` / `get()`.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+
+@lru_cache(maxsize=1)
+def _is_axon() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform == "axon"
+    except Exception:
+        return False
+
+
+@lru_cache(maxsize=1)
+def _combine_fn():
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda p: (p[..., 0] + 1j * p[..., 1]).astype(jnp.complex64))
+
+
+@lru_cache(maxsize=4)
+def _download_fn(kind: str):
+    import jax
+    import jax.numpy as jnp
+    if kind == "complex":
+        return jax.jit(lambda x: jnp.stack(
+            [jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)],
+            axis=-1))
+    if kind == "bitcast32":
+        return jax.jit(lambda x: jax.lax.bitcast_convert_type(x, jnp.float32))
+    return jax.jit(lambda x: x.astype(jnp.float32))
+
+
+@lru_cache(maxsize=256)
+def _fill_fn(shape: tuple, dtype_str: str, value: complex):
+    import jax
+    import jax.numpy as jnp
+    dt = jnp.dtype(dtype_str)
+    return jax.jit(lambda: jnp.full(shape, value, dt))
+
+
+def _shape_tuple(shape) -> tuple:
+    return (shape,) if isinstance(shape, int) else tuple(shape)
+
+
+def zeros(shape, dtype="complex64"):
+    """Device zeros created INSIDE a jit. Eager ``jnp.zeros(..., complex64)``
+    is a complex h2d constant transfer, which permanently poisons every later
+    device->host fetch on the axon tunnel (tools/axon_probe8.py: `czeros`
+    FAIL vs `czeros_jit` ok). All loop-state init functions build their
+    complex members through this. Safe (and equivalent) on every platform;
+    also fine while tracing (inlines as a constant)."""
+    return _fill_fn(_shape_tuple(shape), str(np.dtype(dtype)), 0)()
+
+
+def ones(shape, dtype="complex64"):
+    """See `zeros`."""
+    return _fill_fn(_shape_tuple(shape), str(np.dtype(dtype)), 1)()
+
+
+def put(x: np.ndarray):
+    """Host array -> device array (safe for complex64 on axon).
+
+    Always uses the f32-pair route for complex64 (harmless elsewhere) and
+    NEVER calls jax.devices() first: empirically, probing the axon backend
+    before the first h2d transfer poisons all later d2h fetches in the
+    process (tools/axon_probe7.py: `put` FAIL vs `combinefn` ok). The pairs
+    are materialized as a contiguous copy — transferring a view of the
+    complex buffer was also implicated."""
+    import jax.numpy as jnp
+    x = np.asarray(x)
+    if x.dtype == np.complex64:
+        pairs = x.view(np.float32).reshape(*x.shape, 2).copy()
+        return _combine_fn()(jnp.asarray(pairs))
+    return jnp.asarray(x)
+
+
+def get(x) -> np.ndarray:
+    """Device array -> host np array (exact; safe on axon)."""
+    if isinstance(x, np.ndarray):
+        return x
+    dt = np.dtype(x.dtype)
+    if not _is_axon() or dt == np.float32:
+        return np.asarray(x)
+    if dt == np.complex64:
+        pairs = np.asarray(_download_fn("complex")(x))
+        return (pairs[..., 0] + 1j * pairs[..., 1]).astype(np.complex64)
+    if dt in (np.dtype(np.int32), np.dtype(np.uint32)):
+        f = np.asarray(_download_fn("bitcast32")(x))
+        return f.view(np.uint32).astype(dt) if dt == np.dtype(np.uint32) \
+            else f.view(np.int32)
+    if dt in (np.dtype(np.uint8), np.dtype(np.int8), np.dtype(np.bool_),
+              np.dtype(np.uint16), np.dtype(np.int16), np.dtype(np.bfloat16)
+              if hasattr(np, "bfloat16") else np.dtype(np.int16)):
+        f = np.asarray(_download_fn("astype")(x))
+        return f.astype(dt)
+    # fall back: try astype-f32 (may lose precision for 64-bit, which the
+    # TPU path never produces — x64 is disabled)
+    return np.asarray(_download_fn("astype")(x)).astype(dt)

@@ -1,0 +1,22 @@
+import sys, time, os, traceback
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+
+which = sys.argv[1]
+n = 65536
+rng = np.random.default_rng(0)
+xc = ((rng.standard_normal(n)+1j*rng.standard_normal(n))*0.5).astype(np.complex64)
+pairs = xc.view(np.float32).reshape(n, 2)
+
+if which == "withxfer":
+    from satdump_tpu.utils import xfer
+    x = xfer.put(xc)
+else:
+    x = jax.jit(lambda p: (p[...,0]+1j*p[...,1]).astype(jnp.complex64))(jnp.asarray(pairs))
+s = jax.jit(lambda x: jnp.sum(jnp.abs(x)))(x)
+try:
+    print(f"{which}: ok v={float(np.asarray(s)):.5g}", flush=True)
+except Exception as e:
+    msg = str(e).splitlines()[:4]
+    print(f"{which}: FAIL {type(e).__name__}: {msg}", flush=True)
