@@ -34,6 +34,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from satdump_tpu.ops.firdes import mm_interpolator_bank
+
+
+_KERNEL_DEFAULT = False  # flip False to force the XLA gather path
+
+
+def _on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (incl. the axon tunnel)."""
+    import jax
+    try:
+        plat = jax.default_backend()
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
 from satdump_tpu.utils import xfer
 
 
@@ -113,10 +126,23 @@ def vv_phase_track(x: jnp.ndarray, order: int, sub: int,
         last_phase + _wrap(ph[0] - last_phase, period))
     ph_u = jnp.concatenate([first[None], first + jnp.cumsum(d)])
 
-    # per-sample linear interpolation between sub-block centers
-    centers = (jnp.arange(nsub, dtype=jnp.float32) + 0.5) * sub
-    t = jnp.arange(n, dtype=jnp.float32)
-    ph_t = jnp.interp(t, centers, ph_u)
+    # Per-sample linear interpolation between sub-block centers. The centers
+    # are UNIFORM, so the lerp is pure reshape/broadcast — jnp.interp's
+    # searchsorted+gather lowers catastrophically on TPU (measured 8 Msps vs
+    # multi-Gsps for the rest of the chain, tools/ffprofile.py).
+    # Segment j covers samples [sub/2 + j·sub, sub/2 + (j+1)·sub); the head
+    # and tail half-blocks clamp to the end values (jnp.interp semantics).
+    if nsub > 1:
+        slopes = ph_u[1:] - ph_u[:-1]                        # (nsub-1,)
+        ramp = jnp.arange(sub, dtype=jnp.float32) / sub
+        core = ph_u[:-1, None] + slopes[:, None] * ramp[None, :]
+        core = core.reshape(-1)                              # (n - sub,)
+        head = jnp.full((sub // 2,), ph_u[0], jnp.float32)
+        tail_n = n - (nsub - 1) * sub - sub // 2
+        tail = jnp.full((tail_n,), ph_u[-1], jnp.float32)
+        ph_t = jnp.concatenate([head, core, tail])
+    else:
+        ph_t = jnp.full((n,), ph_u[0], jnp.float32)
     return ph_t, ph_u[-1]
 
 
@@ -217,7 +243,8 @@ def ff_resample_at(ext: jnp.ndarray, positions: jnp.ndarray, bank: jnp.ndarray,
 
 def ff_clock_recovery(state: FFClockState, x: jnp.ndarray, *, sps: float,
                       sub: int = 2048, bank: jnp.ndarray | None = None,
-                      out_cap: int | None = None
+                      out_cap: int | None = None,
+                      use_kernel: bool | None = None
                       ) -> Tuple[FFClockState, jnp.ndarray, jnp.ndarray]:
     """Feedforward symbol-timing recovery over one block.
 
@@ -244,7 +271,23 @@ def ff_clock_recovery(state: FFClockState, x: jnp.ndarray, *, sps: float,
     positions = start + k * omega
 
     ext = jnp.concatenate([state.history[: ntaps - 1], x])
-    syms, valid = ff_resample_at(ext, positions, bank, n)
+    if use_kernel is None:
+        use_kernel = _on_tpu() and _KERNEL_DEFAULT
+    if use_kernel:
+        # Pallas tile kernel: DMA + one-hot MXU matmuls. The XLA gather
+        # formulation runs at ~8 Msymb/s on TPU (tools/gathervariants.py);
+        # the kernel is compute-shaped instead. Symbol values may differ by
+        # one interpolator-branch step (1-ulp position rounding) vs the XLA
+        # path — inside the soft-symbol noise floor, bit-exact after FEC.
+        from satdump_tpu.ops.pallas.resample import resample_arith_grid
+        y = resample_arith_grid(ext, start, omega, jnp.asarray(bank),
+                                out_cap=out_cap, sps_max=sps * 1.02)
+        valid_in = (positions >= -(ntaps // 2)) & (positions < n - ntaps // 2)
+        src = jnp.floor(positions + ntaps / 2).astype(jnp.int32)
+        valid = valid_in & (src < n)
+        syms = jnp.where(valid, y, 0)
+    else:
+        syms, valid = ff_resample_at(ext, positions, bank, n)
 
     # next symbol position after the last valid one, rebased to the next block
     n_valid = jnp.sum(valid.astype(jnp.int32))
