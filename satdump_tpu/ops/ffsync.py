@@ -36,7 +36,7 @@ import numpy as np
 from satdump_tpu.ops.firdes import mm_interpolator_bank
 
 
-_KERNEL_DEFAULT = False  # flip False to force the XLA gather path
+_KERNEL_DEFAULT = True  # flip False to force the XLA gather path
 
 
 def _on_tpu() -> bool:
@@ -303,7 +303,8 @@ def ff_psk_demod_block(state: FFClockState, x: jnp.ndarray, *, order: int,
                        sps: float, rrc_taps: jnp.ndarray,
                        bank: jnp.ndarray | None = None,
                        sub_phase: int = 1024, sub_timing: int = 2048,
-                       out_cap: int | None = None
+                       out_cap: int | None = None,
+                       use_kernel: bool | None = None
                        ) -> Tuple[FFClockState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full feedforward PSK demod for one IQ block: AGC → RRC (overlap-save
     FFT) → CFO removal (FFT of x^M) → V&V phase → O&M timing + polyphase
@@ -344,7 +345,8 @@ def ff_psk_demod_block(state: FFClockState, x: jnp.ndarray, *, order: int,
     # timing + symbol pick
     state2, syms, valid = ff_clock_recovery(
         state._replace(last_phase=last_ph, last_f=f, nco_phase=nco), xp,
-        sps=sps, sub=sub_timing, bank=bank, out_cap=out_cap)
+        sps=sps, sub=sub_timing, bank=bank, out_cap=out_cap,
+        use_kernel=use_kernel)
 
     # SNR on the picked symbols (M2M4, as the reference's estimator)
     p = jnp.abs(jnp.where(valid, syms, 0)) ** 2

@@ -4,11 +4,13 @@ Replaces the HBM gather in ops/ffsync.ff_resample_at (8 Msymb/s via XLA
 gather; tools/gathervariants.py) with a tiled kernel:
 
   per tile of T symbols:
-    DMA  ext[base .. base+L)  HBM -> VMEM          (contiguous, aligned)
-    sel  = onehot(local_src)   (T, L)              (VPU compare)
-    W    = sel @ E8            (T, 16) via MXU     (E8 = 8 shifts x re/im)
-    taps = onehot(branch) @ bank  (T, 8) via MXU
-    y    = sum_t W[:, t] * taps[:, t]              (VPU)
+    DMA  ext[base .. base+L)  HBM -> VMEM          (contiguous, tile-aligned)
+    taps = onehot(branch) @ bank   (T, 8)  via MXU
+    A    = banded weights: A[k, l] = taps[k, l - local_k]  (8 VPU passes)
+    y    = A @ [real | imag]       (T, 2)  via MXU
+
+Measured on v5e (tools/ffprofile2.py): 114 Msymb/s vs 8 Msymb/s for the
+XLA gather formulation.
 
 The symbol grid is arithmetic (p_k = start + k*omega), so each tile's
 sources live in one contiguous, statically-sized window — the dynamic part
@@ -36,9 +38,11 @@ T_TILE = 512
 
 def _l_window(sps_max: float) -> int:
     """Static VMEM window length per tile: worst-case source span + DMA
-    alignment slack (base is rounded down to a 128 multiple) + taps."""
-    need = int(np.ceil(T_TILE * sps_max)) + 2 * NTAPS + 256
-    return ((need + 127) // 128) * 128
+    alignment slack (base is rounded down to a 1024-element 1-D tile) + taps."""
+    # slack: 1024 for the tile-aligned base rounding + taps margin
+    need = int(np.ceil(T_TILE * sps_max)) + 2 * NTAPS + 1024 + 64
+    # 1-D VMEM slices must align to the (8x128)=1024-element tile
+    return ((need + 1023) // 1024) * 1024
 
 
 def _kernel(start_ref, omega_ref, extr_hbm, exti_hbm, bank_ref,
@@ -51,7 +55,7 @@ def _kernel(start_ref, omega_ref, extr_hbm, exti_hbm, bank_ref,
     base_f = start + k0 * omega
     base = jnp.floor(base_f).astype(jnp.int32) - NTAPS
     base = jnp.clip(base, 0, n_ext - L)
-    base = (base // 128) * 128          # aligned DMA start
+    base = (base // 1024) * 1024        # aligned to the 1-D VMEM tile
 
     cr = pltpu.make_async_copy(extr_hbm.at[pl.ds(base, L)], bufr, semr)
     ci = pltpu.make_async_copy(exti_hbm.at[pl.ds(base, L)], bufi, semi)
@@ -76,22 +80,23 @@ def _kernel(start_ref, omega_ref, extr_hbm, exti_hbm, bank_ref,
     cr.wait()
     ci.wait()
 
-    # E8: 8 shifted copies of the window, real|imag stacked -> (L, 16)
-    er = bufr[:]                                                # (L,)
-    ei = bufi[:]
-    # (roll-by-0 lowers to a zero-size slice Mosaic rejects; special-case it)
-    cols = [(jnp.roll(er, -t) if t else er)[:, None] for t in range(NTAPS)] + \
-           [(jnp.roll(ei, -t) if t else ei)[:, None] for t in range(NTAPS)]
-    E8 = jnp.concatenate(cols, axis=1)                          # (L, 16)
+    # Banded weight matrix A[k, l] = taps[k, l - local_k] (0 elsewhere),
+    # built by 8 VPU compare-accumulates — Mosaic rejects shifted 1-D
+    # slices/rolls ("input offsets outside of the first tile"), so the tap
+    # window folds into the selection instead of shifting the signal.
+    delta = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, L), 1) - local
+    A = jnp.zeros((T_TILE, L), jnp.float32)
+    for t in range(NTAPS):
+        A = A + jnp.where(delta == t, taps[:, t][:, None], 0.0)
 
-    lidx = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, L), 1)
-    sel = (lidx == local).astype(jnp.float32)                   # (T, L)
-    W = jnp.dot(sel, E8, preferred_element_type=jnp.float32)    # (T, 16)
+    # one MXU matmul against the [real | imag] window
+    EI = jnp.concatenate([bufr[:][:, None], bufi[:][:, None]], axis=1)  # (L,2)
+    Y = jnp.dot(A, EI, preferred_element_type=jnp.float32)              # (T,2)
 
     # out blocks are (1, 8, T/8): TPU requires trailing block dims
     # divisible by (8, 128) or equal to the array dims
-    outr_ref[0] = jnp.sum(W[:, :NTAPS] * taps, axis=1).reshape(8, T_TILE // 8)
-    outi_ref[0] = jnp.sum(W[:, NTAPS:] * taps, axis=1).reshape(8, T_TILE // 8)
+    outr_ref[0] = Y[:, 0].reshape(8, T_TILE // 8)
+    outi_ref[0] = Y[:, 1].reshape(8, T_TILE // 8)
 
 
 @partial(jax.jit, static_argnames=("out_cap", "sps_max", "interpret"))

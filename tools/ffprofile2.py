@@ -16,7 +16,7 @@ def stage_vv(x):
 
 def stage_resamp(x):
     st = ffsync.ff_clock_init()
-    st2, syms, valid = ffsync.ff_clock_recovery(st, x, sps=2.0, bank=bank, out_cap=cap)
+    st2, syms, valid = ffsync.ff_clock_recovery(st, x, sps=2.0, bank=bank, out_cap=cap, use_kernel=True)
     return syms
 
 def stage_full(x):
