@@ -72,6 +72,19 @@ class BasebandReader:
     def __init__(self, path: str | Path, fmt: str, block_size: int = 1 << 20,
                  iq_swap: bool = False):
         self.path = str(path)
+        self._mem: Optional[np.ndarray] = None
+        if str(fmt).lower().lstrip(".") == "ziq":
+            # compressed stream: decode once, serve blocks from memory
+            # (ref common/ziq.cpp streams; fine at recording sizes)
+            from satdump_tpu.io.ziq import read_ziq
+            self._mem, sr, self.annotation = read_ziq(self.path)
+            self.fmt = "ziq"
+            self.block_size = int(block_size)
+            self.iq_swap = iq_swap
+            self.samplerate = sr or None
+            self.header_bytes = 0
+            self.num_samples = len(self._mem)
+            return
         self.fmt = _norm_format(fmt)
         self.block_size = int(block_size)
         self.iq_swap = iq_swap
@@ -112,6 +125,14 @@ class BasebandReader:
         count = min(self.block_size, self.num_samples - start)
         if count <= 0:
             raise EOFError
+        if self._mem is not None:
+            data = self._mem[start: start + count]
+            out = np.zeros(self.block_size, np.complex64)
+            out[:count] = data
+            if self.iq_swap:
+                out = out.imag + 1j * out.real
+            return BasebandBlock(out.astype(np.complex64), count, index,
+                                 start + count >= self.num_samples)
         per = 2 if is_complex_format(self.fmt) and self.fmt != "cf32" else 1
         if self.fmt == "cf32":
             raw = np.fromfile(self.path, dtype=np.complex64, count=count,
@@ -195,13 +216,13 @@ class BasebandWriter:
         else:
             inter = np.asarray(samples, dtype=np.float32)
         if fmt in ("cs16", "wav16", "s16"):
-            data = np.clip(inter * 32767.0, -32767, 32767).astype(np.int16)
+            data = np.clip(np.round(inter * 32767.0), -32767, 32767).astype(np.int16)
         elif fmt == "cs32":
-            data = np.clip(inter * 2147483647.0, -2147483647, 2147483647).astype(np.int32)
+            data = np.clip(np.round(inter * 2147483647.0), -2147483647, 2147483647).astype(np.int32)
         elif fmt == "cs8":
-            data = np.clip(inter * 127.0, -127, 127).astype(np.int8)
+            data = np.clip(np.round(inter * 127.0), -127, 127).astype(np.int8)
         elif fmt == "cu8":
-            data = np.clip(inter * 127.0 + 127.0, 0, 255).astype(np.uint8)
+            data = np.clip(np.round(inter * 127.0 + 127.0), 0, 255).astype(np.uint8)
         else:
             raise FormatError(fmt)
         if self._wav is not None:
@@ -230,3 +251,23 @@ def read_baseband(path: str | Path, fmt: str) -> Tuple[np.ndarray, Optional[floa
 def write_baseband(path: str | Path, fmt: str, samples: np.ndarray, samplerate: float = 0) -> None:
     with BasebandWriter(path, fmt, samplerate) as w:
         w.write(samples)
+
+
+def detect_baseband_format(path: str | Path) -> Optional[str]:
+    """Guess the baseband format from magic/extension
+    (ref common/detect_header.h)."""
+    p = str(path)
+    try:
+        with open(p, "rb") as f:
+            if f.read(4) == b"ZIQ_":
+                return "ziq"
+        with open(p, "rb") as f:
+            if f.read(4) == b"RIFF":
+                return "wav16"
+    except OSError:
+        return None
+    ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
+    known = {"cf32": "cf32", "f32": "cf32", "cs16": "cs16", "s16": "cs16",
+             "cs8": "cs8", "s8": "cs8", "cu8": "cu8", "u8": "cu8",
+             "wav": "wav16", "ziq": "ziq", "raw": "cs16"}
+    return known.get(ext)

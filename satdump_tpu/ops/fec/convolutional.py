@@ -109,28 +109,37 @@ _E0_T = _E[:, :, 0].astype(np.float32)  # [state, bit]
 _E1_T = _E[:, :, 1].astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("renorm_every",))
-def viterbi_acs(pm: jnp.ndarray, soft: jnp.ndarray, renorm_every: int = 32
+@partial(jax.jit, static_argnames=("renorm",))
+def viterbi_acs(pm: jnp.ndarray, soft: jnp.ndarray, renorm: bool = True
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run ACS over a block. pm: (B,64). soft: (B,T,2) float32 in [0,255]
-    (255 = confident 1). Returns (new_pm, decisions (T,B,64) bool)."""
-    e0 = jnp.asarray(_E0_T)  # (64,2)
-    e1 = jnp.asarray(_E1_T)
-    pred0 = jnp.asarray(_PRED0)
-    pred1 = jnp.asarray(_PRED1)
-    bit = jnp.asarray(_BIT)
+    (255 = confident 1). Returns (new_pm, decisions (T,B,64) bool).
 
-    # branch metric per (state, input bit) given the two received softs:
-    # bm[s,b] = e0[s,b] ? 255-s0 : s0  +  e1[s,b] ? 255-s1 : s1
+    renorm=False drops the per-step min-subtract (a cross-state reduction
+    each trellis step). Metrics are integer-valued and grow by <= 510/step,
+    so for T <= ~32k steps they stay exact in f32 — the tiled lane decoder
+    always qualifies; only unbounded streaming needs renorm."""
+    # Butterfly formulation — NO gathers. State ns = 2m+b has predecessors
+    # m (pm[:, :32]) and m+32 (pm[:, 32:]); the trellis permutation becomes
+    # pure slice/reshape, which the VPU handles at full rate (XLA's gather
+    # lowering is the bottleneck otherwise).
+    e0 = jnp.asarray(_E0_T)  # (64,2) expected outputs per (state, bit)
+    e1 = jnp.asarray(_E1_T)
+
     def step(pm, soft_t):
         s0 = soft_t[:, 0][:, None, None]  # (B,1,1)
         s1 = soft_t[:, 1][:, None, None]
-        bm = jnp.abs(s0 - 255.0 * e0[None]) + jnp.abs(s1 - 255.0 * e1[None])  # (B,64,2)
-        cand0 = pm[:, pred0] + bm[:, pred0, bit]   # (B,64)
-        cand1 = pm[:, pred1] + bm[:, pred1, bit]
-        dec = cand1 < cand0
-        new_pm = jnp.minimum(cand0, cand1)
-        new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
+        # bm[s,b] = |s0 - 255 e0| + |s1 - 255 e1|, split by predecessor half
+        bmA = jnp.abs(s0 - 255.0 * e0[None, :32]) \
+            + jnp.abs(s1 - 255.0 * e1[None, :32])      # (B,32,2)
+        bmB = jnp.abs(s0 - 255.0 * e0[None, 32:]) \
+            + jnp.abs(s1 - 255.0 * e1[None, 32:])
+        cand_a = pm[:, :32, None] + bmA                # pred m
+        cand_b = pm[:, 32:, None] + bmB                # pred m+32
+        dec = (cand_b < cand_a).reshape(pm.shape[0], NSTATES)   # ns = 2m+b
+        new_pm = jnp.minimum(cand_a, cand_b).reshape(pm.shape[0], NSTATES)
+        if renorm:
+            new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
         return new_pm, dec
 
     pm, decisions = jax.lax.scan(step, pm, jnp.swapaxes(soft, 0, 1))
@@ -139,19 +148,28 @@ def viterbi_acs(pm: jnp.ndarray, soft: jnp.ndarray, renorm_every: int = 32
 
 @jax.jit
 def viterbi_traceback(pm: jnp.ndarray, decisions: jnp.ndarray) -> jnp.ndarray:
-    """Traceback from best end state. decisions: (T,B,64). Returns bits (B,T)."""
-    pred0 = jnp.asarray(_PRED0)
-    pred1 = jnp.asarray(_PRED1)
+    """Traceback from best end state. decisions: (T,B,64). Returns bits (B,T).
+
+    The survivor state is carried as a ONE-HOT (B,64) f32 vector so each
+    step is multiply/reduce/reshape — no per-step gather (XLA gathers are
+    the TPU bottleneck). prev(2m+b) = m or m+32 by the decision bit, which
+    in one-hot form is a (B,32,2)->sum fold plus a masked concat."""
     B = pm.shape[0]
-    state0 = jnp.argmin(pm, axis=-1).astype(jnp.int32)  # (B,)
+    oh0 = (pm == jnp.min(pm, axis=-1, keepdims=True)).astype(jnp.float32)
+    # break ties towards the lowest state (argmin semantics)
+    oh0 = (jnp.cumsum(oh0, axis=-1) * oh0 == 1.0).astype(jnp.float32)
 
-    def step(state, dec_t):
-        d = jnp.take_along_axis(dec_t, state[:, None], axis=-1)[:, 0]  # (B,)
-        bits = (state & 1).astype(jnp.uint8)
-        prev = jnp.where(d, pred1[state], pred0[state])
-        return prev, bits
+    odd = (jnp.arange(NSTATES) & 1).astype(jnp.float32)
 
-    _, bits_rev = jax.lax.scan(step, state0, decisions[::-1])
+    def step(oh, dec_t):
+        d = jnp.sum(dec_t.astype(jnp.float32) * oh, axis=-1)       # (B,)
+        bit = jnp.sum(oh * odd, axis=-1).astype(jnp.uint8)         # state&1
+        oh_m = jnp.sum(oh.reshape(B, 32, 2), axis=-1)              # state>>1
+        oh_new = jnp.concatenate([oh_m * (1.0 - d)[:, None],
+                                  oh_m * d[:, None]], axis=1)
+        return oh_new, bit
+
+    _, bits_rev = jax.lax.scan(step, oh0, decisions[::-1])
     return bits_rev[::-1].swapaxes(0, 1)  # (B,T)
 
 
@@ -226,7 +244,7 @@ def viterbi_decode_tiled(soft: jnp.ndarray, seg: int = 1024, ovl: int = 128
     # erase samples outside the stream so they don't bias edge lanes
     win = jnp.where((idx < 0)[..., None] | (idx >= T)[..., None], 128.0, win)
     pm0 = jnp.zeros((L, NSTATES), jnp.float32)
-    pm, dec = viterbi_acs(pm0, win)
+    pm, dec = viterbi_acs(pm0, win, renorm=False)
     bits = viterbi_traceback(pm, dec)                          # (L, S)
     return bits[:, ovl: ovl + seg].reshape(-1).astype(jnp.uint8)
 

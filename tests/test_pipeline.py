@@ -112,3 +112,36 @@ def test_soft_to_cadu_nrzm(tmp_path, rng):
     assert len(got) >= 6
     matched = sum(bool((c == g).all()) for g in got for c in cadus)
     assert matched == len(got)
+
+
+def test_ziq_roundtrip(tmp_path, rng):
+    from satdump_tpu.io.ziq import is_ziq, read_ziq, write_ziq
+    # keep |x| < 1: the int formats clip at full-scale (ref ziq.cpp x127)
+    x = ((rng.standard_normal(1000) + 1j * rng.standard_normal(1000)) * 0.15
+         ).astype(np.complex64)
+    x = np.clip(x.real, -0.95, 0.95) + 1j * np.clip(x.imag, -0.95, 0.95)
+    x = x.astype(np.complex64)
+    for bits, tol in [(8, 1 / 127 + 1e-3), (16, 1e-4), (32, 0)]:
+        for comp in (True, False):
+            p = tmp_path / f"t{bits}{comp}.ziq"
+            write_ziq(p, x, samplerate=6e6, bits_per_sample=bits,
+                      compress=comp, annotation={"frequency": 137.1e6})
+            assert is_ziq(p)
+            y, sr, ann = read_ziq(p)
+            assert sr == 6e6
+            assert ann["frequency"] == 137.1e6
+            assert np.abs(y - x).max() <= tol + 1e-9
+
+
+def test_ziq_block_reader(tmp_path, rng):
+    from satdump_tpu.io import BasebandReader, detect_baseband_format, write_ziq
+    x = ((rng.standard_normal(3000) + 1j * rng.standard_normal(3000)) * 0.1
+         ).astype(np.complex64)
+    p = tmp_path / "r.ziq"
+    write_ziq(p, x, samplerate=1e6, bits_per_sample=16)
+    assert detect_baseband_format(p) == "ziq"
+    rd = BasebandReader(p, "ziq", block_size=1024)
+    assert rd.samplerate == 1e6
+    got = rd.read_all()
+    assert got.shape[0] == 3000
+    assert np.abs(got - x).max() < 1e-4
