@@ -1,0 +1,154 @@
+"""Standard map projections, forward/inverse, vectorized.
+
+Reference: src-core/projection/standard/{equirect,geos,stereo,tmerc,webmerc,
+tpers}.c (per-pixel C functions dispatched through proj.cpp). All functions
+here broadcast over arrays: forward (lon, lat) degrees -> (x, y) projection
+meters; inverse back. cfg schema mirrors the reference's proj JSON
+({"type": ..., "lon0": ..., ...}).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+R_EARTH = 6378137.0          # spherical radius used by the reference's
+                             # equirect/webmerc (WGS84 a)
+GEO_ALT = 35786023.0         # geostationary height above ellipsoid
+
+
+# --- equirectangular ---------------------------------------------------------
+def equirect_forward(lon, lat, lon0=0.0, lat_ts=0.0):
+    x = R_EARTH * np.radians(np.asarray(lon) - lon0) * np.cos(np.radians(lat_ts))
+    y = R_EARTH * np.radians(np.asarray(lat))
+    return x, y
+
+
+def equirect_inverse(x, y, lon0=0.0, lat_ts=0.0):
+    lon = np.degrees(np.asarray(x) / (R_EARTH * np.cos(np.radians(lat_ts)))) + lon0
+    lat = np.degrees(np.asarray(y) / R_EARTH)
+    return lon, lat
+
+
+# --- web mercator ------------------------------------------------------------
+def webmerc_forward(lon, lat, lon0=0.0):
+    x = R_EARTH * np.radians(np.asarray(lon) - lon0)
+    latr = np.radians(np.clip(np.asarray(lat), -85.06, 85.06))
+    y = R_EARTH * np.log(np.tan(np.pi / 4 + latr / 2))
+    return x, y
+
+
+def webmerc_inverse(x, y, lon0=0.0):
+    lon = np.degrees(np.asarray(x) / R_EARTH) + lon0
+    lat = np.degrees(2 * np.arctan(np.exp(np.asarray(y) / R_EARTH)) - np.pi / 2)
+    return lon, lat
+
+
+# --- polar stereographic -----------------------------------------------------
+def stereo_forward(lon, lat, lon0=0.0, lat0=90.0):
+    sign = 1.0 if lat0 >= 0 else -1.0
+    latr = np.radians(np.asarray(lat) * sign)
+    lonr = np.radians(np.asarray(lon) - lon0)
+    k = 2.0 * R_EARTH * np.tan(np.pi / 4 - latr / 2)
+    x = k * np.sin(lonr)
+    y = -sign * k * np.cos(lonr)
+    return x, y
+
+
+def stereo_inverse(x, y, lon0=0.0, lat0=90.0):
+    sign = 1.0 if lat0 >= 0 else -1.0
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64) * -sign
+    rho = np.hypot(x, y)
+    lat = sign * np.degrees(np.pi / 2 - 2 * np.arctan(rho / (2 * R_EARTH)))
+    lon = np.degrees(np.arctan2(x, y)) + lon0
+    return lon, lat
+
+
+# --- geostationary (GEOS) ----------------------------------------------------
+def geos_forward(lon, lat, lon0=0.0, sweep_x=False):
+    """Lon/lat -> GEOS scan-angle coordinates (m at the satellite plane),
+    spherical earth (the reference's geos.c fallback)."""
+    h = GEO_ALT + R_EARTH
+    lonr = np.radians(np.asarray(lon) - lon0)
+    latr = np.radians(np.asarray(lat))
+    # geocentric on sphere
+    cx = R_EARTH * np.cos(latr) * np.cos(lonr)
+    cy = R_EARTH * np.cos(latr) * np.sin(lonr)
+    cz = R_EARTH * np.sin(latr)
+    dx = h - cx
+    visible = (cx * (cx - h) + cy * cy + cz * cz) < 0
+    if sweep_x:
+        x = h * np.arctan2(cy, np.hypot(dx, cz))
+        y = h * np.arctan2(cz, dx)
+    else:
+        x = h * np.arctan2(cy, dx)
+        y = h * np.arctan2(cz, np.hypot(dx, cy))
+    x = np.where(visible, x, np.nan)
+    y = np.where(visible, y, np.nan)
+    return x, y
+
+
+def geos_inverse(x, y, lon0=0.0, sweep_x=False):
+    h = GEO_ALT + R_EARTH
+    a = np.asarray(x, np.float64) / h
+    b = np.asarray(y, np.float64) / h
+    # exact inverses of the forward's nested atan2 pairs:
+    # sweep_y (default): a = atan2(vy, vx), b = atan2(vz, hypot(vx, vy))
+    #   -> v = (cos b cos a, cos b sin a, sin b)
+    # sweep_x:           a = atan2(vy, hypot(vx, vz)), b = atan2(vz, vx)
+    #   -> v = (cos a cos b, sin a, cos a sin b)
+    if sweep_x:
+        vx = np.cos(a) * np.cos(b)
+        vy = np.sin(a)
+        vz = np.cos(a) * np.sin(b)
+    else:
+        vx = np.cos(b) * np.cos(a)
+        vy = np.cos(b) * np.sin(a)
+        vz = np.sin(b)
+    # ray from (h,0,0) towards (-vx, vy, vz); intersect sphere radius R
+    ox = h
+    qa = vx * vx + vy * vy + vz * vz
+    qb = 2 * (-vx) * ox
+    qc = ox * ox - R_EARTH * R_EARTH
+    disc = qb * qb - 4 * qa * qc
+    t = (-qb - np.sqrt(np.maximum(disc, 0))) / (2 * qa)
+    px = ox - vx * t
+    py = vy * t
+    pz = vz * t
+    lat = np.degrees(np.arcsin(np.clip(pz / R_EARTH, -1, 1)))
+    lon = np.degrees(np.arctan2(py, px)) + lon0
+    lon = np.where(disc >= 0, lon, np.nan)
+    lat = np.where(disc >= 0, lat, np.nan)
+    return lon, lat
+
+
+_FORWARD = {"equirectangular": equirect_forward, "equirect": equirect_forward,
+            "webmerc": webmerc_forward, "mercator": webmerc_forward,
+            "stereo": stereo_forward, "geos": geos_forward}
+_INVERSE = {"equirectangular": equirect_inverse, "equirect": equirect_inverse,
+            "webmerc": webmerc_inverse, "mercator": webmerc_inverse,
+            "stereo": stereo_inverse, "geos": geos_inverse}
+
+
+def _kwargs(cfg: dict) -> dict:
+    out = {}
+    for k in ("lon0", "lat0", "lat_ts", "sweep_x"):
+        if k in cfg:
+            out[k] = cfg[k]
+    return out
+
+
+def forward(cfg: dict, lon, lat) -> Tuple[np.ndarray, np.ndarray]:
+    t = cfg.get("type", "equirectangular")
+    if t not in _FORWARD:
+        raise ValueError(f"unknown projection '{t}'")
+    return _FORWARD[t](lon, lat, **_kwargs(cfg))
+
+
+def inverse(cfg: dict, x, y) -> Tuple[np.ndarray, np.ndarray]:
+    t = cfg.get("type", "equirectangular")
+    if t not in _INVERSE:
+        raise ValueError(f"unknown projection '{t}'")
+    return _INVERSE[t](x, y, **_kwargs(cfg))
