@@ -202,15 +202,17 @@ class Demuxer:
 # Timecode parsing (ref ccsds_time.cpp — CDS segmented day/ms/us format)
 # ---------------------------------------------------------------------------
 def parse_ccsds_time_full_raw(data, offset_s: int = 0, ms_scale: int = 1000,
-                              ns_of_ms_scale: int = 1000000) -> float:
+                              us_of_ms_scale: int = 1000000) -> float:
     """CDS: 16-bit days + 32-bit milliseconds-of-day + 16-bit sub-ms.
-    Returns Unix seconds (days since epoch + offset_s)."""
+    Returns Unix seconds (days since epoch + offset_s). The sub-ms field
+    adds ``us / us_of_ms_scale`` seconds, matching the reference
+    parseCCSDSTimeFullRaw (ccsds_time.cpp:22-29)."""
     d = bytes(data[:8])
     days = d[0] << 8 | d[1]
     ms = d[2] << 24 | d[3] << 16 | d[4] << 8 | d[5]
-    ns = d[6] << 8 | d[7]
+    us = d[6] << 8 | d[7]
     return (days * 86400.0 + ms / float(ms_scale)
-            + ns / float(ms_scale) / float(ns_of_ms_scale) + offset_s)
+            + us / float(us_of_ms_scale) + offset_s)
 
 
 def parse_ccsds_time(pkt: CCSDSPacket, offset_s: int = 0,

@@ -133,7 +133,73 @@ class NormalLineRaytracer:
         return lat, lon
 
 
-RAYTRACERS = {"normal_line": NormalLineRaytracer}
+RAYTRACERS = {"normal_line": NormalLineRaytracer,
+              "normal_single_line": NormalLineRaytracer}
+
+
+def filter_timestamps_simple(timestamps: np.ndarray, max_tolerate: float,
+                             max_diff: float) -> np.ndarray:
+    """Outlier rejection vs the median + monotonicity check
+    (ref timestamp_filtering.cpp filter_timestamps_simple)."""
+    ts = np.asarray(timestamps, np.float64).copy()
+    valid = ts != -1
+    if not valid.any():
+        return ts
+    avg = float(np.median(ts[valid]))
+    last = -1.0
+    for i in range(len(ts)):
+        v = ts[i]
+        if v == -1:
+            continue
+        if abs(avg - v) > max_tolerate or last >= v or abs(last - v) > max_diff:
+            last = v
+            ts[i] = -1
+            continue
+        last = v
+    return ts
+
+
+def filter_timestamps_cfg(timestamps, tf_cfg: dict) -> np.ndarray:
+    """Apply a proj cfg "timefilter" block (ref filter_timestamps_width_cfg)."""
+    ts = np.asarray(timestamps, np.float64)
+    if tf_cfg.get("type") != "simple":
+        return ts
+    scan_time = float(tf_cfg["scan_time"])
+    max_diff = float(tf_cfg["max_diff"])
+    margin = float(tf_cfg.get("margin", 1.5))
+    total = scan_time * len(ts)
+    return filter_timestamps_simple(ts, total * 0.5 + total * margin, max_diff)
+
+
+def interpolate_timestamps(timestamps, to_interp: int, scantime: float
+                           ) -> np.ndarray:
+    """Expand one timestamp per scan into ``to_interp`` per-line timestamps
+    centered on the scan time (ref satellite_raytracer.cpp
+    try_interpolate_timestamps) — e.g. MSU-MR LRPT carries one timestamp per
+    8-line strip; without the x8 expansion geolocation compresses along
+    track."""
+    ts = np.asarray(timestamps, np.float64)
+    half = to_interp // 2
+    offs = np.arange(-half, to_interp - half, dtype=np.float64) * scantime
+    out = ts[:, None] + offs[None, :]
+    out = np.where(ts[:, None] == -1, -1.0, out)
+    return out.reshape(-1)
+
+
+def prepare_proj_timestamps(proj_cfg: dict) -> dict:
+    """Timefilter + interpolate the cfg's timestamps in place-semantics copy
+    (ref get_satellite_raytracer preamble, satellite_raytracer.cpp:38-47)."""
+    if "timestamps" not in proj_cfg:
+        return proj_cfg
+    cfg = dict(proj_cfg)
+    ts = np.asarray(cfg["timestamps"], np.float64)
+    if "timefilter" in cfg:
+        ts = filter_timestamps_cfg(ts, cfg["timefilter"])
+    if "interpolate_timestamps" in cfg:
+        ts = interpolate_timestamps(ts, int(cfg["interpolate_timestamps"]),
+                                    float(cfg["interpolate_timestamps_scantime"]))
+    cfg["timestamps"] = ts
+    return cfg
 
 
 def make_raytracer(proj_cfg: dict, tle: Optional[TLE] = None):
@@ -145,7 +211,7 @@ def make_raytracer(proj_cfg: dict, tle: Optional[TLE] = None):
         if not tj or "line1" not in tj:
             raise ValueError("proj cfg lacks a TLE")
         tle = TLE.parse(tj.get("name", "sat"), tj["line1"], tj["line2"])
-    return RAYTRACERS[t](proj_cfg, tle)
+    return RAYTRACERS[t](prepare_proj_timestamps(proj_cfg), tle)
 
 
 def compute_gcps(proj_cfg: dict, width: int, height: int,

@@ -12,6 +12,7 @@ instrument cfgs (resources/instrument_cfgs/*.json).
 from __future__ import annotations
 
 import ast
+import functools
 from typing import Callable, Dict, List
 
 import jax
@@ -21,8 +22,8 @@ import numpy as np
 from satdump_tpu.core.exceptions import SatdumpError
 
 _ALLOWED_FUNCS = {
-    "min": lambda *a: jnp.minimum(*a) if len(a) == 2 else jnp.minimum(a[0], jnp.minimum(*a[1:])),
-    "max": lambda *a: jnp.maximum(*a) if len(a) == 2 else jnp.maximum(a[0], jnp.maximum(*a[1:])),
+    "min": lambda *a: functools.reduce(jnp.minimum, a),
+    "max": lambda *a: functools.reduce(jnp.maximum, a),
     "abs": jnp.abs,
     "sqrt": lambda x: jnp.sqrt(jnp.maximum(x, 0.0)),
     "exp": jnp.exp,

@@ -35,24 +35,25 @@ def brightness_contrast(img: np.ndarray, brightness: float, contrast: float
 
 
 def equalize(img: np.ndarray, per_channel: bool = False) -> np.ndarray:
-    """Histogram equalization (ref histogram_utils.cpp / image processing
-    'equalize'): CDF remap, computed with a 1024-bin histogram on device."""
+    """Histogram equalization matching the reference formula exactly
+    (ref image/processing.cpp:176-216): ``scaling[i] = round(cum_hist[i] *
+    (nlevels-1)/size)``, ONE joint histogram over all channels unless
+    per_channel — computed with a 1024-bin histogram on device."""
     x, scale = _as_float(img)
     nbins = 1024
 
     def eq1(ch):
         hist = jnp.histogram(ch, bins=nbins, range=(0.0, 1.0))[0]
         cdf = jnp.cumsum(hist).astype(jnp.float32)
-        cdf_min = cdf[jnp.argmax(cdf > 0)]
-        denom = jnp.maximum(cdf[-1] - cdf_min, 1.0)
-        lut = (cdf - cdf_min) / denom
+        # reference scaling: cum * (nlevels-1)/size, no cdf_min subtraction
+        lut = jnp.round(cdf * ((nbins - 1) / ch.size)) / (nbins - 1)
         idx = jnp.clip((ch * (nbins - 1)).astype(jnp.int32), 0, nbins - 1)
         return lut[idx]
 
     if x.ndim == 3 and per_channel:
         y = jnp.stack([eq1(x[..., c]) for c in range(x.shape[-1])], axis=-1)
     elif x.ndim == 3:
-        # common equalization over luminance mapping applied per channel
+        # joint histogram over the full RGB stack (reference per_channel=false)
         y = eq1(x.reshape(-1)).reshape(x.shape)
     else:
         y = eq1(x)

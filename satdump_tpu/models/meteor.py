@@ -34,6 +34,31 @@ INVALID = 0xFFFFFFFF
 METEOR_NORAD = {"METEOR-M2": 40069, "METEOR-M2-2": 44387,
                 "METEOR-M2-3": 57166, "METEOR-M2-4": 59051}
 
+# Per-satellite attitude/timing settings matching the reference
+# resources/projections_settings/meteor_m2*_msumr_lrpt.json files. MSU-MR
+# LRPT carries ONE timestamp per 8-line strip; interpolate_timestamps: 8
+# with the 0.2 s line scan time expands them to per-line values.
+_MSUMR_LRPT_PROJ_COMMON = {
+    "type": "normal_single_line", "image_width": 1568,
+    "gcp_spacing_x": 100, "gcp_spacing_y": 100,
+    "interpolate_timestamps": 8, "interpolate_timestamps_scantime": 0.2,
+    "timefilter": {"type": "simple", "scan_time": 1.6, "max_diff": 10.0},
+}
+MSUMR_LRPT_PROJ = {
+    "METEOR-M2": {"scan_angle": 110.6, "roll_offset": 2.3, "pitch_offset": 0,
+                  "yaw_offset": 2.4, "timestamp_offset": 0.2,
+                  **_MSUMR_LRPT_PROJ_COMMON},
+    "METEOR-M2-2": {"scan_angle": 110.6, "roll_offset": 2.3, "pitch_offset": 0,
+                    "yaw_offset": 2.4, "timestamp_offset": 0.2,
+                    **_MSUMR_LRPT_PROJ_COMMON},
+    "METEOR-M2-3": {"scan_angle": 110.1, "roll_offset": -0.31, "pitch_offset": 0,
+                    "yaw_offset": 0, "timestamp_offset": 0,
+                    **_MSUMR_LRPT_PROJ_COMMON},
+    "METEOR-M2-4": {"scan_angle": 110.1, "roll_offset": -0.4, "pitch_offset": 0,
+                    "yaw_offset": 0, "timestamp_offset": 1,
+                    **_MSUMR_LRPT_PROJ_COMMON},
+}
+
 
 class Segment:
     """One MSU-MR LRPT segment (ref lrpt/segment.cpp). Holds the entropy-
@@ -266,10 +291,11 @@ class MeteorMSUMRLRPTModule(ProcessingModule):
         ds = DataSet(sat_name, float(np.median([t for t in all_ts if t > 0]))
                      if any(t > 0 for t in all_ts) else -1.0)
         if n_ch:
+            proj = dict(MSUMR_LRPT_PROJ.get(sat_name,
+                                            MSUMR_LRPT_PROJ["METEOR-M2-4"]))
+            proj["norad"] = METEOR_NORAD.get(sat_name, 0)
             p.set_proj_cfg_tle_timestamps(
-                {"type": "normal_line", "scan_angle": 110.8,
-                 "image_width": 1568,
-                 "norad": METEOR_NORAD.get(sat_name, 0)},
+                proj,
                 {"name": sat_name, "norad": METEOR_NORAD.get(sat_name, 0)},
                 all_ts or [-1.0])
             p.save(str(out_dir / "MSU-MR"))

@@ -117,9 +117,14 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             for i, ch in enumerate(avhrr.channels()):
                 p.add_channel(ch, names[i], bit_depth=16,
                               wavenumber=AVHRR_WAVENUMBERS[i])
+            # matches reference projections_settings/metop_abc_avhrr.json
             p.set_proj_cfg_tle_timestamps(
                 {"type": "normal_line", "scan_angle": 110.6,
-                 "image_width": 2048, "timestamp_offset": -0.3,
+                 "roll_offset": -0.03, "timestamp_offset": 0.3,
+                 "image_width": 2048,
+                 "gcp_spacing_x": 100, "gcp_spacing_y": 100,
+                 "timefilter": {"type": "simple", "scan_time": 0.2,
+                                "max_diff": 1.0},
                  "norad": norad},
                 {"name": sat_name, "norad": norad},
                 avhrr.timestamps)

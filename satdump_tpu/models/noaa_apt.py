@@ -12,7 +12,6 @@ lines at once rather than the reference's per-line loop.
 
 from __future__ import annotations
 
-import json
 import wave
 from pathlib import Path
 
@@ -118,21 +117,27 @@ class NOAAAPTDecoderModule(ProcessingModule):
                 save_img(raw8[:, ::APT_OVERS], str(main_dir / "raw_unsync.png"))
         save_img(img, str(main_dir / "raw_sync.png"))
 
-        # dataset + product metadata (level contract, ref dataset.h)
-        dataset = {
-            "satellite": f"NOAA-{self.param('satellite_number', '19')}",
-            "timestamp": float(self.param("start_timestamp", -1)),
-            "products": ["AVHRR"],
-        }
-        with open(out_dir / "dataset.json", "w") as f:
-            json.dump(dataset, f, indent=4)
-        product = {
-            "instrument": "avhrr_apt",
-            "type": "image",
-            "images": [{"file": "raw_sync.png", "name": "APT", "width": APT_IMG_WIDTH,
-                        "lines": int(img.shape[0])}],
-        }
-        with open(main_dir / "product.json", "w") as f:
-            json.dump(product, f, indent=4)
-        self.d_output_file = str(main_dir / "raw_sync.png")
+        # real ImageProduct + DataSet so load_product/process_path work on the
+        # APT output like every other mission (products level contract;
+        # ref module_noaa_apt_decoder.cpp products assembly)
+        from satdump_tpu.products.image_product import ImageProduct
+        from satdump_tpu.products.product import DataSet
+        sat_name = f"NOAA-{self.param('satellite_number', '19')}"
+        start_ts = float(self.param("start_timestamp", -1))
+        p = ImageProduct()
+        p.instrument_name = "avhrr_apt"
+        p.add_channel(img, "APT", bit_depth=8)
+        # APT frame: channel A = words 0..1039, channel B = 1040..2079 (each
+        # with its own sync+space+telemetry margins)
+        if img.shape[0]:
+            p.add_channel(img[:, 86:86 + 909], "A", bit_depth=8)
+            p.add_channel(img[:, 1126:1126 + 909], "B", bit_depth=8)
+        if start_ts > 0:
+            p.set_product_timestamp(start_ts)
+        p.set_product_source(sat_name)
+        p.save(str(main_dir))
+
+        ds = DataSet(sat_name, start_ts)
+        ds.products_list.append("AVHRR")
+        self.d_output_file = ds.save(str(out_dir))
         self.stats = {"lines": int(img.shape[0])}

@@ -87,7 +87,6 @@ def conv_encode_batch(bits: np.ndarray) -> np.ndarray:
 class ViterbiState(NamedTuple):
     pm: jnp.ndarray         # (B, 64) float32 path metrics
     decisions: jnp.ndarray  # (D, B, 64) bool, last D decision rows
-    tb_state: jnp.ndarray   # unused placeholder for future use
 
 
 def viterbi_init(batch: int = 1, traceback: int = TRACEBACK) -> ViterbiState:
@@ -95,7 +94,6 @@ def viterbi_init(batch: int = 1, traceback: int = TRACEBACK) -> ViterbiState:
     return ViterbiState(
         pm=pm,
         decisions=jnp.zeros((traceback, batch, NSTATES), jnp.bool_),
-        tb_state=jnp.zeros((batch,), jnp.int32),
     )
 
 

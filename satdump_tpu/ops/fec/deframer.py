@@ -55,6 +55,10 @@ class DeframerState:
     next_expected: int = -1   # absolute bit index where the next ASM should sit
     tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
     abs_offset: int = 0       # absolute index of tail[0] in the stream
+    # the ASM at tail[0] was already state-checked before the block split a
+    # frame — skip re-checking it next call (keeps d_good/d_invalid counts
+    # identical to the reference's contiguous bit-serial walk)
+    pending_checked: bool = False
 
 
 class CCSDSDeframer:
@@ -101,9 +105,13 @@ class CCSDSDeframer:
 
         frames: List[np.ndarray] = []
         pos = 0  # index into stream
+        first_prechecked = st.pending_checked
+        st.pending_checked = False
         # candidate threshold for searching: exact match when NOSYNC
         while pos + ASM_SIZE <= n:
-            if st.state == STATE_NOSYNC:
+            if pos == 0 and first_prechecked and st.state != STATE_NOSYNC:
+                first_prechecked = False  # ASM already counted last call
+            elif st.state == STATE_NOSYNC:
                 # find next exact ASM (either polarity) from pos
                 dn = dist_n[pos:]
                 di = dist_i[pos:]
@@ -157,7 +165,8 @@ class CCSDSDeframer:
                 frames.append(np.packbits(fb))
                 pos += L
             else:
-                break  # partial frame -> keep as tail
+                st.pending_checked = True
+                break  # partial frame -> keep as tail, ASM already counted
 
         st.tail = stream[pos:]
         st.abs_offset = base + pos

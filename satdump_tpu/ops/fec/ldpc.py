@@ -20,7 +20,7 @@ Gaussian elimination (host NumPy, once per code).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -75,11 +75,6 @@ def make_regular_code(n: int, dv: int, dc: int, seed: int = 0) -> LDPCCode:
         for i, v in enumerate(perm):
             H[(layer * n + i) // dc % m, v] ^= 1
     return code_from_dense(H)
-
-
-@lru_cache(maxsize=8)
-def _dense_maps(code_id: int):
-    return None  # placeholder for potential caching by id
 
 
 @partial(jax.jit, static_argnames=("iters", "alpha"))

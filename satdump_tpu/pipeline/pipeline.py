@@ -89,28 +89,35 @@ def _strip_json_comments(text: str) -> str:
     return "".join(out)
 
 
+def _expand_includes(text: str, path: Path,
+                     include_dirs: Optional[List[Path]] = None) -> str:
+    """Textual ``"*.json.inc"`` substitution BEFORE JSON parsing — the
+    reference replaces the quoted token with the raw file contents
+    (pipeline.cpp:25-67), so includes can supply any fragment, including
+    the ``work`` dict itself."""
+    def repl(m: re.Match) -> str:
+        name = m.group(1)
+        for d in [path.parent] + list(include_dirs or []):
+            cand = Path(d) / name
+            if cand.exists():
+                return cand.read_text()
+        from satdump_tpu.core.log import logger
+        logger.error(f"could not include {name} from {path}")
+        return m.group(0)
+
+    return re.sub(r'"([^"\n]+\.json\.inc)"', repl, text)
+
+
 def parse_pipeline_file(path: str | Path, include_dirs: Optional[List[Path]] = None
                         ) -> Dict[str, Pipeline]:
     path = Path(path)
-    text = _strip_json_comments(path.read_text())
+    text = _expand_includes(path.read_text(), path, include_dirs)
+    text = _strip_json_comments(text)
     data = json.loads(text)
     out: Dict[str, Pipeline] = {}
     for pid, body in data.items():
         if not isinstance(body, dict) or "work" not in body:
             continue
-        # ".json.inc" include mechanism: {"include": "file.json.inc"} merges
-        if "include" in body:
-            inc_path = None
-            for d in [path.parent] + list(include_dirs or []):
-                cand = Path(d) / body["include"]
-                if cand.exists():
-                    inc_path = cand
-                    break
-            if inc_path is not None:
-                base = json.loads(_strip_json_comments(inc_path.read_text()))
-                merged = dict(base)
-                merged.update({k: v for k, v in body.items() if k != "include"})
-                body = merged
         steps = []
         for level, step in body.get("work", {}).items():
             steps.append(PipelineStep(

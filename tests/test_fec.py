@@ -252,3 +252,26 @@ def test_viterbi_tiled_matches_full(rng):
         ber_t = (tiled != bits).mean()
         ber_f = (full[0] != bits).mean()
         assert ber_t <= max(float(ber_f) * 1.1, max_ber), (sigma, ber_t, ber_f)
+
+
+def test_deframer_seam_counts_match_contiguous(rng):
+    """ASM good/invalid counters must not double-count at block seams
+    (frames split across work() calls)."""
+    cadu_bits = 1024 * 8
+    asm = np.array([0x1A, 0xCF, 0xFC, 0x1D], np.uint8)
+    frames = [np.concatenate([asm, rng.integers(0, 256, 1020).astype(np.uint8)])
+              for _ in range(20)]
+    stream = _make_bitstream(frames, pre=55, rng=rng)
+
+    df_one = CCSDSDeframer(cadu_bits)
+    out_one = df_one.work(stream)
+
+    df_blk = CCSDSDeframer(cadu_bits)
+    out_blk = []
+    # deliberately awkward block size: splits most frames mid-frame
+    for i in range(0, len(stream), 5000):
+        out_blk += df_blk.work(stream[i:i + 5000])
+    assert len(out_one) == len(out_blk)
+    assert df_one.st.d_good == df_blk.st.d_good
+    assert df_one.st.d_invalid == df_blk.st.d_invalid
+    assert df_one.st.state == df_blk.st.state

@@ -71,3 +71,30 @@ def test_vincenty_equator_degree():
     # 1 degree of longitude at the equator ~ 111.32 km
     d = vincenty_distance(0.0, 0.0, 0.0, 1.0)
     assert abs(d - 111.32) < 0.05
+
+
+def test_interpolate_timestamps_x8():
+    from satdump_tpu.geo.raytrace import interpolate_timestamps, prepare_proj_timestamps
+    ts = np.array([100.0, -1.0, 103.2])
+    out = interpolate_timestamps(ts, 8, 0.2)
+    assert out.shape == (24,)
+    # centered: i in [-4, 4) around each base timestamp
+    np.testing.assert_allclose(out[:8], 100.0 + np.arange(-4, 4) * 0.2)
+    assert np.all(out[8:16] == -1.0)
+    np.testing.assert_allclose(out[16:], 103.2 + np.arange(-4, 4) * 0.2)
+
+    cfg = {"timestamps": ts, "interpolate_timestamps": 8,
+           "interpolate_timestamps_scantime": 0.2}
+    out2 = prepare_proj_timestamps(cfg)["timestamps"]
+    np.testing.assert_allclose(out2, out)
+
+
+def test_timestamp_filter_simple():
+    from satdump_tpu.geo.raytrace import filter_timestamps_cfg
+    ts = np.array([1000.0, 1001.6, 99999.0, 1004.8, 1006.4])
+    out = filter_timestamps_cfg(ts, {"type": "simple", "scan_time": 1.6,
+                                     "max_diff": 10.0})
+    # reference semantics (timestamp_filtering.cpp): first element rejected
+    # (last starts at -1), outlier rejected, element after outlier rejected
+    # (last >= v), survivors kept
+    np.testing.assert_allclose(out, [-1, 1001.6, -1, -1, 1006.4])

@@ -145,3 +145,19 @@ def test_ziq_block_reader(tmp_path, rng):
     got = rd.read_all()
     assert got.shape[0] == 3000
     assert np.abs(got - x).max() < 1e-4
+
+
+def test_json_inc_include(tmp_path):
+    """A pipeline whose whole `work` dict comes from a .json.inc include must
+    load (textual substitution semantics, ref pipeline.cpp:25-67)."""
+    from satdump_tpu.pipeline.pipeline import parse_pipeline_file
+    (tmp_path / "common.json.inc").write_text(
+        '{"baseband": {}, "soft": {"module": "psk_demod", '
+        '"parameters": {"constellation": "qpsk"}}}')
+    (tmp_path / "pipes.json").write_text(
+        '{"test_inc": {"name": "T", "work": "common.json.inc"}}')
+    pipes = parse_pipeline_file(tmp_path / "pipes.json")
+    assert "test_inc" in pipes
+    p = pipes["test_inc"]
+    assert [s.level for s in p.steps] == ["baseband", "soft"]
+    assert p.steps[1].module_id == "psk_demod"

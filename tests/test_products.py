@@ -108,3 +108,15 @@ def test_processing_ops(rng):
 
     inv = ip.linear_invert(img)
     np.testing.assert_allclose(inv, 65535 - img, atol=1)
+
+
+def test_expression_nary_min_max(rng):
+    from satdump_tpu.image.expression import compile_expression
+    a = rng.random((4, 5)).astype(np.float32)
+    b = rng.random((4, 5)).astype(np.float32)
+    c = rng.random((4, 5)).astype(np.float32)
+    env = {"ch1": a, "ch2": b, "ch3": c}
+    out = compile_expression("min(ch1, ch2, ch3)")(env)
+    np.testing.assert_allclose(out, np.minimum(np.minimum(a, b), c), rtol=1e-6)
+    out1 = compile_expression("max(ch1)")(env)
+    np.testing.assert_allclose(out1, np.clip(a, 0, 1), rtol=1e-6)

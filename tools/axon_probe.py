@@ -1,5 +1,10 @@
-"""Probe the axon tunnel's execution semantics (one case per subprocess;
-d2h breakage is permanent per process). Usage: python tools/axon_probe.py CASE"""
+"""Diagnostic probe for the axon TPU tunnel's execution semantics.
+
+One case per subprocess (device-to-host breakage is permanent per process).
+Usage: python tools/axon_probe.py CASE
+Cases cover: basic jit compile+fetch, donated buffers, pallas kernel smoke,
+large-transfer timing. This is the single consolidated diagnostic kept from
+the round-1 probe series."""
 import sys, time, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
