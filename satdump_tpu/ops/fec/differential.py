@@ -25,8 +25,45 @@ def nrzm_decode(bits: np.ndarray, last: int = 0) -> Tuple[np.ndarray, int]:
     return (bits ^ prev).astype(np.uint8), int(bits[-1]) if len(bits) else last
 
 
-def qpsk_diff_decode(symbols: np.ndarray, last: int = 0) -> Tuple[np.ndarray, int]:
-    """Differential decode of 2-bit QPSK symbols (gray-coded phase deltas)."""
-    symbols = np.asarray(symbols, dtype=np.uint8)
-    prev = np.concatenate([[last], symbols[:-1]])
-    return ((symbols - prev) & 3).astype(np.uint8), int(symbols[-1]) if len(symbols) else last
+class QPSKDiff:
+    """Differential decode of 2-bit QPSK symbols, faithful to the reference
+    diff::QPSKDiff (codings/differential/qpsk_diff.cpp) including its startup
+    behavior (the first two samples prime the window and emit nothing) and
+    the conditional axis swap. Vectorized over the block.
+
+    work(symbols) -> interleaved output bits, 2 per emitted symbol."""
+
+    def __init__(self, swap: bool = True):
+        self.swap = swap
+        self._prev: int | None = None
+        self._dropped_first = False  # the reference never uses sample 0
+
+    def work(self, symbols: np.ndarray) -> np.ndarray:
+        symbols = np.asarray(symbols, dtype=np.uint8)
+        if not self._dropped_first and len(symbols):
+            symbols = symbols[1:]
+            self._dropped_first = True
+        if len(symbols) == 0:
+            return np.zeros(0, np.uint8)
+        if self._prev is None:
+            self._prev = int(symbols[0])
+            symbols = symbols[1:]
+            if len(symbols) == 0:
+                return np.zeros(0, np.uint8)
+        prev = np.concatenate([[self._prev], symbols[:-1]]).astype(np.uint8)
+        cur = symbols
+        self._prev = int(cur[-1])
+        xin_1, yin_1 = prev & 2, prev & 1
+        xin, yin = cur & 2, cur & 1
+        cond = ((xin >> 1) ^ yin) == 1
+        ou = np.where(cond,
+                      ((yin_1 ^ yin) << 1) + ((xin_1 ^ xin) >> 1),
+                      (xin_1 ^ xin) + (yin_1 ^ yin)).astype(np.uint8)
+        out = np.empty(2 * len(ou), np.uint8)
+        if self.swap:
+            out[0::2] = ou & 1
+            out[1::2] = ou >> 1
+        else:
+            out[0::2] = ou >> 1
+            out[1::2] = ou & 1
+        return out

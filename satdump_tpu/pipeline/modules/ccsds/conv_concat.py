@@ -55,11 +55,13 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
             phases = [PHASE_0, PHASE_90]
         else:
             raise PipelineError(f"invalid constellation {const}")
-        if self.conv_rate != "1/2":
-            raise PipelineError(f"conv_rate {self.conv_rate} not yet implemented")
+        if self.conv_rate not in ("1/2", "2/3", "3/4", "5/6", "7/8"):
+            raise PipelineError(f"invalid conv_rate {self.conv_rate} "
+                                "(ref module_ccsds_conv_concat_decoder.cpp:95-119)")
 
         self.viterbi = Viterbi12Sync(self.viterbi_ber_thr, self.viterbi_outsync,
-                                     phases, check_iq_swap=self.oqpsk)
+                                     phases, check_iq_swap=self.oqpsk,
+                                     rate=self.conv_rate)
         self.deframer = CCSDSDeframer(self.cadu_size, self.asm)
         self.rs = ReedSolomon(k=223 if self.rs_type == "rs223" else 239) if self.rs_i else None
         self.nrzm_last = 0

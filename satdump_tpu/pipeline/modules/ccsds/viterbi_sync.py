@@ -1,9 +1,11 @@
-"""Self-synchronizing r=1/2 Viterbi with phase/shift/IQ-swap ambiguity search.
+"""Self-synchronizing Viterbi with phase/shift/IQ-swap ambiguity search,
+for rate 1/2 and punctured rates 2/3, 3/4, 5/6, 7/8.
 
-Reference: src-core/common/codings/viterbi/viterbi_1_2.h — the decoder tries
-every constellation phase x puncturing shift x optional IQ swap on a 2048-soft
-test window, picks the hypothesis whose re-encoded BER clears the threshold,
-then decodes the stream under that hypothesis until BER degrades.
+Reference: src-core/common/codings/viterbi/viterbi_1_2.h (rate 1/2:
+phase x pair-shift x optional IQ swap on a 2048-soft test window) and
+viterbi_punc.h Viterbi_Depunc (punctured: phase x puncture-shift x swap;
+shift range 2*period). Both pick the hypothesis whose re-encoded BER clears
+the threshold, then decode the stream under it until BER degrades.
 
 TPU formulation: all hypotheses are decoded in ONE batched Viterbi call
 (hypotheses ride the lane dimension), instead of the reference's serial loop.
@@ -17,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from satdump_tpu.ops.fec import convolutional as cc
+from satdump_tpu.ops.fec.depuncture import BER_SCALE, Depuncturer
 from satdump_tpu.ops.fec.rotation import (PHASE_0, PHASE_90, PHASE_180,
                                           PHASE_270, rotate_soft)
 from satdump_tpu.utils import xfer
@@ -27,24 +30,32 @@ ST_IDLE = 0
 ST_SYNCED = 1
 
 
-def _ber(raw_u8: np.ndarray, reenc: np.ndarray) -> float:
-    """ref get_ber (viterbi_1_2.cpp:38-50): fraction mismatching, x2.5."""
+def _ber(raw_u8: np.ndarray, reenc: np.ndarray, scale: float) -> float:
+    """ref get_ber (viterbi_1_2.cpp:38-50 / viterbi_punc.cpp:38-50):
+    fraction mismatching at non-erasure positions, x scale."""
+    n = min(len(raw_u8), len(reenc))
+    raw_u8, reenc = raw_u8[:n], reenc[:n]
     mask = raw_u8 != 128
     total = int(mask.sum())
     if total == 0:
         return 10.0
     errors = int((((raw_u8 > 127).astype(np.uint8) != reenc) & mask).sum())
-    return errors / total * 2.5
+    return errors / total * scale
 
 
 class Viterbi12Sync:
+    """Streaming decoder; rate "1/2" (default) or punctured "2/3".."7/8"."""
+
     def __init__(self, ber_threshold: float, max_outsync: int,
                  phases: List[int] | None = None, check_iq_swap: bool = False,
-                 traceback: int = 96):
+                 traceback: int = 96, rate: str = "1/2"):
         self.ber_threshold = ber_threshold
         self.max_outsync = max_outsync
         self.phases = phases if phases is not None else [PHASE_0, PHASE_90, PHASE_180, PHASE_270]
         self.check_swap = check_iq_swap
+        self.rate = rate
+        self.berscale = BER_SCALE[rate]
+        self.depunc = Depuncturer(rate) if rate != "1/2" else None
         self.state = ST_IDLE
         self.phase = PHASE_0
         self.shift = 0
@@ -54,6 +65,11 @@ class Viterbi12Sync:
         self.traceback = traceback
         self._stream = cc.StreamViterbi(batch=1, traceback=traceback)
         self._leftover = np.zeros(0, np.int8)
+
+    def _shift_range(self) -> range:
+        if self.depunc is None:
+            return range(2)
+        return range(self.depunc.numstates * 2)
 
     # -- lock search ---------------------------------------------------------
     def _search(self, soft: np.ndarray) -> bool:
@@ -66,18 +82,23 @@ class Viterbi12Sync:
             for ph in self.phases:
                 rotated = rotate_soft(test, ph, swap)
                 u8 = cc.soft_int8_to_u8(rotated)
-                for shift in (0, 1):
-                    w = u8[shift: shift + TEST_BITS - 2]
+                for shift in self._shift_range():
+                    if self.depunc is None:
+                        w = u8[shift: shift + TEST_BITS - 2]
+                    else:
+                        w = self.depunc.depunc_static(u8, shift)
                     hyps.append((ph, shift, swap))
                     windows.append(w)
-        W = np.stack(windows).astype(np.float32)         # (H, TEST-2)
+        # trim to a common even length so hypotheses batch into lanes
+        wlen = min(len(w) for w in windows) // 2 * 2
+        W = np.stack([w[:wlen] for w in windows]).astype(np.float32)
         softs = W.reshape(len(hyps), -1, 2)
         bits, _ = cc.viterbi_decode_block(xfer.put(softs))
         bits = xfer.get(bits).astype(np.uint8)          # (H, T)
         reenc = cc.conv_encode_batch(bits)               # (H, 2T)
         best_i, best_ber = -1, 10.0
         for i, (ph, shift, swap) in enumerate(hyps):
-            b = _ber(windows[i].astype(np.uint8), reenc[i])
+            b = _ber(windows[i][:wlen].astype(np.uint8), reenc[i], self.berscale)
             if b < self.ber_threshold and b < best_ber:
                 best_i, best_ber = i, b
         if best_i < 0:
@@ -89,6 +110,8 @@ class Viterbi12Sync:
         self.invalid = 0
         self._stream = cc.StreamViterbi(batch=1, traceback=self.traceback)
         self._leftover = np.zeros(0, np.int8)
+        if self.depunc is not None:
+            self.depunc.set_shift(self.shift)
         return True
 
     # -- streaming decode ----------------------------------------------------
@@ -99,12 +122,16 @@ class Viterbi12Sync:
         if self.state == ST_IDLE:
             if not self._search(soft):
                 return np.zeros(0, np.uint8)
-            # apply the shift once at lock: drop the first `shift` values
-            soft = soft[self.shift:]
+            # rate 1/2: apply the pair shift once at lock by dropping values;
+            # punctured rates realign inside the depuncturer instead
+            if self.depunc is None:
+                soft = soft[self.shift:]
 
         rotated = rotate_soft(soft, self.phase, self.iq_swap)
         u8 = cc.soft_int8_to_u8(rotated)
-        buf = np.concatenate([self._leftover_u8() , u8]) if len(self._leftover) else u8
+        if self.depunc is not None:
+            u8 = self.depunc.depunc_cont(u8)
+        buf = np.concatenate([self._leftover_u8(), u8]) if len(self._leftover) else u8
         n_pairs = len(buf) // 2
         self._leftover = buf[n_pairs * 2:].astype(np.int8)  # store raw u8-128
         if n_pairs == 0:
@@ -120,7 +147,7 @@ class Viterbi12Sync:
         if n_pairs > D + 256:
             reenc = cc.conv_encode_batch(bits[D:])
             raw = buf[: len(reenc)]
-            self.ber = _ber(raw.astype(np.uint8), reenc)
+            self.ber = _ber(raw.astype(np.uint8), reenc, self.berscale)
             if self.ber > self.ber_threshold:
                 self.invalid += 1
                 if self.invalid > self.max_outsync:

@@ -36,16 +36,33 @@ def make_cadus(n_frames: int, rng: np.random.Generator, cadu_bytes: int = 1024,
 
 
 def encode_cadu_stream(cadus: np.ndarray, randomize: bool = True,
-                       nrzm: bool = False) -> np.ndarray:
+                       nrzm: bool = False, conv_rate: str = "1/2") -> np.ndarray:
     """CADUs -> channel bits: [randomize payload] -> bits -> [NRZ-M] ->
-    conv encode r=1/2. The exact inverse of the decoder chain."""
+    conv encode r=1/2 -> [puncture]. The exact inverse of the decoder chain."""
     tx = cadus.copy()
     if randomize:
         tx[:, 4:] = derand_ccsds(tx[:, 4:])  # XOR with PN (involution)
     bits = np.unpackbits(tx.reshape(-1))
     if nrzm:
         bits, _ = differential.nrzm_encode(bits)
-    return cc.conv_encode_batch(bits)
+    enc = cc.conv_encode_batch(bits)
+    if conv_rate != "1/2":
+        from satdump_tpu.ops.fec.depuncture import puncture
+        enc = puncture(enc, conv_rate)
+    return enc
+
+
+def encode_cadu_stream_uncoded(cadus: np.ndarray, randomize: bool = True,
+                               nrzm: bool = False) -> np.ndarray:
+    """CADUs -> channel bits with NO convolutional code (the simple-PSK
+    decoder's input, ref module_ccsds_simple_psk_decoder.cpp)."""
+    tx = cadus.copy()
+    if randomize:
+        tx[:, 4:] = derand_ccsds(tx[:, 4:])
+    bits = np.unpackbits(tx.reshape(-1))
+    if nrzm:
+        bits, _ = differential.nrzm_encode(bits)
+    return bits
 
 
 def bits_to_qpsk_symbols(chan_bits: np.ndarray) -> np.ndarray:
