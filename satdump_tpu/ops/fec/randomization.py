@@ -37,6 +37,17 @@ def derand_ccsds(data: np.ndarray) -> np.ndarray:
     return data ^ pn
 
 
+def derand_ccsds_soft(soft: np.ndarray) -> np.ndarray:
+    """Invert int8 soft symbols where the PN bit is set (ref
+    randomization.cpp derand_ccsds_soft: data[i] = ~data[i]; the 255-bit
+    LFSR period makes byte-domain tiling equivalent). Involution."""
+    soft = np.asarray(soft, np.int8)
+    n = soft.shape[-1]
+    reps = -(-n // len(_PN_BITS))
+    pn = np.tile(_PN_BITS, reps)[:n]
+    return np.where(pn == 1, np.invert(soft), soft)
+
+
 def derand_ccsds_soft_bits(bits: np.ndarray) -> np.ndarray:
     """Bit-level variant for pre-packing streams (ref ccsds_soft_pn)."""
     bits = np.asarray(bits, dtype=np.uint8)
