@@ -2,3 +2,4 @@
 
 import satdump_tpu.pipeline.modules.demod  # noqa: F401
 import satdump_tpu.pipeline.modules.ccsds  # noqa: F401
+import satdump_tpu.xrit.goes  # noqa: F401
