@@ -144,39 +144,46 @@ def recover_payload(frame: np.ndarray, cfg: defs.ModcodCfg,
 
     mask = defs.payload_data_mask(cfg)
     pos = np.arange(n_pay)
+    # Decision-directed per-slot phase tracking with frequency aiding (the
+    # reference's per-sample soft-LUT PLL restructured into a 90-symbol-
+    # granular recurrence — the per-slot inner work is fully vectorized;
+    # only the slot walk is serial). When pilots are on, each pilot block
+    # is an *absolute* re-anchor: its known-symbol phase is full-range
+    # (no constellation ambiguity), so residual-CFO drift and any DD phase
+    # slip are corrected every 16 slots (dvbs2_pll.cpp's pilot mode).
+    pts = defs.constellation(cfg.constellation, cfg.g1, cfg.g2)
+    data_pos = np.nonzero(mask)[0].reshape(cfg.slots, defs.SLOT)
     if cfg.pilots:
-        # anchor phases: header (position -45) + each pilot block center
-        anchors_p = [-45.0]
-        anchors_th = [0.0]
         pilot_pos = np.nonzero(~mask)[0].reshape(-1, defs.PILOT_LEN)
-        ref = np.exp(1j * np.pi / 4)
-        prev = 0.0
+        # map each pilot block to the slot that follows it
+        pilot_before = {}
         for blk in pilot_pos:
-            z = np.sum(pay[blk] * np.conj(ref))
-            th = float(np.angle(z))
-            # unwrap against the previous anchor
-            th = prev + np.angle(np.exp(1j * (th - prev)))
-            anchors_p.append(float(blk.mean()))
-            anchors_th.append(th)
-            prev = th
-        theta = np.interp(pos, anchors_p, anchors_th)
+            nxt = np.searchsorted(data_pos[:, 0], blk[-1])
+            pilot_before[int(nxt)] = blk
     else:
-        # no pilots: decision-directed per-slot phase tracking with
-        # frequency aiding (the reference's per-sample soft-LUT PLL
-        # restructured into a 90-symbol-granular recurrence — the per-slot
-        # inner work is fully vectorized; only the slot walk is serial)
-        pts = defs.constellation(cfg.constellation, cfg.g1, cfg.g2)
-        data = pay.reshape(cfg.slots, defs.SLOT)
-        th = np.zeros(cfg.slots)
-        prev, drift = 0.0, 0.0
-        for i in range(cfg.slots):
-            y = data[i] * np.exp(-1j * (prev + drift))
-            dec = pts[np.argmin(np.abs(y[:, None] - pts), axis=-1)]
-            err = float(np.angle(np.sum(y * np.conj(dec))))
-            th[i] = prev + drift + err
-            if i > 0:
-                drift = 0.7 * drift + 0.3 * (th[i] - prev)
-            prev = th[i]
-        centers = (np.arange(cfg.slots) + 0.5) * defs.SLOT
-        theta = np.interp(pos, centers, th)
+        pilot_before = {}
+    ref = np.exp(1j * np.pi / 4)
+    th = np.zeros(cfg.slots)
+    prev, drift = 0.0, 0.0
+    for i in range(cfg.slots):
+        blk = pilot_before.get(i)
+        if blk is not None:
+            z = np.sum(pay[blk] * np.conj(ref))
+            th_a = float(np.angle(z))
+            prev = prev + drift + np.angle(
+                np.exp(1j * (th_a - (prev + drift))))
+        y = pay[data_pos[i]] * np.exp(-1j * (prev + drift))
+        dec = pts[np.argmin(np.abs(y[:, None] - pts), axis=-1)]
+        err = float(np.angle(np.sum(y * np.conj(dec))))
+        th[i] = prev + drift + err
+        if i > 0:
+            drift = 0.7 * drift + 0.3 * (th[i] - prev)
+        prev = th[i]
+    centers = data_pos.mean(axis=1)
+    theta = np.interp(pos, centers, th)
+    # extrapolate the tracked slope past the last slot center
+    if cfg.slots >= 2:
+        slope = (th[-1] - th[-2]) / (centers[-1] - centers[-2])
+        m = pos > centers[-1]
+        theta[m] = th[-1] + slope * (pos[m] - centers[-1])
     return (pay * np.exp(-1j * theta)).astype(np.complex64)[mask]

@@ -1,0 +1,205 @@
+"""DVB-S2 chain tests: LDPC/BCH codecs, PL sync/PLS decode, TS framing, and
+mod->channel->demod loopbacks (BASELINE config 5). The TX chain (ops/dvbs2/tx)
+follows EN 302 307-1 5.1-5.5 and serves as the loopback fixture; the RX chain
+mirrors plugins/dvb_support/dvbs2/ behavior."""
+
+import numpy as np
+import pytest
+
+from satdump_tpu import sim
+from satdump_tpu.io import write_baseband
+from satdump_tpu.ops.dvbs2 import bbframe as bb
+from satdump_tpu.ops.dvbs2 import defs, tx
+from satdump_tpu.ops.dvbs2.bch import get_bch
+from satdump_tpu.ops.dvbs2.ldpc import IRAEncoder, get_ldpc
+from satdump_tpu.ops.dvbs2.plsync import decode_pls, find_frame_offset
+from satdump_tpu.ops.dvbs2.rx import DVBS2Demod
+from satdump_tpu.ops.dvbs2.scrambling import (bb_derandomize, pl_descramble,
+                                              pl_scramble)
+
+
+def _ts(rng, n=20):
+    ts = rng.integers(0, 256, (n, 188), dtype=np.uint8)
+    ts[:, 0] = 0x47
+    return ts
+
+
+def _awgn(rng, x, esn0_db):
+    s = np.sqrt(1.0 / (2 * 10 ** (esn0_db / 10)))
+    n = (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
+    return (x + s * n).astype(np.complex64)
+
+
+# -- codecs -------------------------------------------------------------------
+@pytest.mark.parametrize("frame,rate", [("short", "1/2"), ("short", "3/5"),
+                                        ("normal", "1/2")])
+def test_ldpc_encode_satisfies_h(rng, frame, rate):
+    code, K = __import__("satdump_tpu.ops.dvbs2.ldpc",
+                         fromlist=["make_code"]).make_code(frame, rate)
+    enc = IRAEncoder(frame, rate)
+    msg = rng.integers(0, 2, (2, K), dtype=np.uint8)
+    cw = enc.encode(msg)
+    # per-check syndromes through the decoder's dense check layout
+    bits_at = cw[:, np.maximum(code.chk_vars, 0)] * (code.chk_vars >= 0)
+    syn = bits_at.sum(axis=-1) % 2
+    assert not syn.any()
+
+
+def test_ldpc_decode_awgn(rng):
+    ldpc = get_ldpc("short", "1/2", iters=30)
+    enc = IRAEncoder("short", "1/2")
+    msg = rng.integers(0, 2, (4, ldpc.K), dtype=np.uint8)
+    cw = enc.encode(msg)
+    # BPSK LLRs at Eb/N0 = 3 dB (well above threshold)
+    x = 1.0 - 2.0 * cw.astype(np.float32)
+    sigma = np.sqrt(1.0 / (2 * (ldpc.K / ldpc.N) * 10 ** (3 / 10)))
+    llr = 2 * (x + sigma * rng.standard_normal(cw.shape)) / sigma ** 2
+    bits, ok = ldpc.decode(llr.astype(np.float32))
+    assert ok.all()
+    assert np.array_equal(bits[:, : ldpc.K], msg)
+
+
+@pytest.mark.parametrize("frame,rate,t", [("short", "1/2", 12),
+                                          ("normal", "1/2", 8)])
+def test_bch_corrects_t_errors(rng, frame, rate, t):
+    bch = get_bch(frame, rate)
+    msg = rng.integers(0, 2, (2, bch.kbch), dtype=np.uint8)
+    cw = bch.encode(msg)
+    for row in cw:
+        pos = rng.choice(len(row), size=t, replace=False)
+        row[pos] ^= 1
+    corrected, ncorr = bch.decode(cw)
+    assert (ncorr == t).all()
+    assert np.array_equal(corrected[:, : bch.kbch], msg)
+
+
+def test_bb_scrambler_involution(rng):
+    frames = rng.integers(0, 256, (3, 879), dtype=np.uint8)
+    assert np.array_equal(bb_derandomize(bb_derandomize(frames)), frames)
+
+
+def test_pl_scrambler_roundtrip(rng):
+    x = (rng.standard_normal(500) + 1j * rng.standard_normal(500)).astype(np.complex64)
+    np.testing.assert_allclose(pl_descramble(pl_scramble(x)), x, rtol=1e-5)
+
+
+# -- PL header ----------------------------------------------------------------
+@pytest.mark.parametrize("pls", [16, 18, 49, 72, 101])
+def test_decode_pls_with_cfo_and_phase(rng, pls):
+    hdr = np.concatenate([defs.sof_symbols(), defs.pls_symbols()[pls]])
+    n = np.arange(defs.HDR_LEN)
+    cfo, phase = 0.01, 1.1
+    rx = hdr * np.exp(1j * (cfo * n + phase))
+    rx = _awgn(rng, rx, 8.0)
+    got, cfo_hat, ph_hat = decode_pls(rx)
+    assert got == pls
+    assert abs(cfo_hat - cfo) < 2e-3
+
+
+def test_find_frame_offset(rng):
+    cfg = defs.get_modcod_cfg(4, True, False)
+    ts = _ts(rng, 20)
+    syms = tx.ts_to_symbols(ts, 4, True, False)
+    x = _awgn(rng, np.concatenate([syms[-777:], syms]), 5.0)
+    off, score = find_frame_offset(x, defs.plframe_len(cfg))
+    assert off == 777
+    assert score > 0.5
+
+
+# -- TS framing ---------------------------------------------------------------
+def test_ts_bbframe_roundtrip(rng):
+    kbch = get_bch("short", "1/2").kbch
+    ts = _ts(rng, 30)
+    frames = bb.ts_to_bbframes(ts, kbch)
+    parser = bb.BBFrameTSParser(kbch)
+    out = parser.work(frames).reshape(-1, 188)
+    assert len(out) >= 28
+    assert np.array_equal(out, ts[: len(out)])
+
+
+# -- loopbacks ----------------------------------------------------------------
+def _loopback(rng, modcod, short, pilots, esn0_db, drop_head=1000):
+    ts = _ts(rng, 20)
+    syms = tx.ts_to_symbols(ts, modcod, short, pilots)
+    n = np.arange(len(syms) + drop_head)
+    x = np.concatenate([syms[-drop_head:], syms]) if drop_head else syms
+    x = x * np.exp(1j * (0.002 * n + 0.9))        # CFO + phase offset
+    x = _awgn(rng, x, esn0_db)
+    dem = DVBS2Demod(modcod, short, pilots)
+    frames = dem.process(x)
+    parser = bb.BBFrameTSParser(dem.kbch)
+    out = parser.work(frames)
+    return ts, frames, out.reshape(-1, 188), dem
+
+
+def test_loopback_qpsk12_short(rng):
+    ts, frames, out, dem = _loopback(rng, 4, True, False, esn0_db=5.0)
+    assert dem.stats["detected_modcod"] == 4
+    assert dem.stats["detected_shortframes"] is True
+    assert dem.stats["ldpc_ok"] >= 4          # >= 4 of 5 frames at 5 dB
+    assert len(out) >= 12
+    # every recovered TS packet must be one of the sent ones, in order
+    sent = {r.tobytes() for r in ts}
+    assert all(r.tobytes() in sent for r in out)
+
+
+def test_loopback_8psk35_short(rng):
+    ts, frames, out, dem = _loopback(rng, 12, True, False, esn0_db=11.0)
+    assert dem.stats["detected_modcod"] == 12
+    assert dem.stats["ldpc_ok"] >= 3
+    sent = {r.tobytes() for r in ts}
+    assert len(out) >= 8
+    assert all(r.tobytes() in sent for r in out)
+
+
+def test_loopback_qpsk12_pilots(rng):
+    ts, frames, out, dem = _loopback(rng, 4, True, True, esn0_db=5.0)
+    assert dem.stats["detected_pilots"] is True
+    assert dem.stats["ldpc_ok"] >= 4
+    sent = {r.tobytes() for r in ts}
+    assert all(r.tobytes() in sent for r in out)
+
+
+# -- pipeline modules ---------------------------------------------------------
+@pytest.mark.slow
+def test_dvbs2_pipeline_baseband_to_ts(tmp_path, rng):
+    """Full module path: shaped 2-sps baseband file -> dvbs2_demod ->
+    dvbs2_ts_extractor -> TS packets bit-exact."""
+    from satdump_tpu.pipeline.pipeline import Pipeline, PipelineStep
+    from satdump_tpu.pipeline.runner import run_pipeline
+
+    modcod, short, pilots = 4, True, False
+    symbolrate = 100_000.0
+    samplerate = 200_000.0
+    ts = _ts(rng, 40)
+    syms = tx.ts_to_symbols(ts, modcod, short, pilots)
+    bbs = sim.qpsk_modulate(syms, sps=samplerate / symbolrate,
+                            rrc_alpha=0.25, rrc_taps=31)
+    chan = sim.ChannelModel(snr_db=14.0, freq_offset=1e-4, phase=0.5,
+                            gain=0.7, seed=5)
+    iq = chan.apply(bbs)
+    bb_path = tmp_path / "s2.cf32"
+    write_baseband(bb_path, "cf32", iq)
+
+    pipe = Pipeline(
+        id="dvbs2_t", name="DVB-S2 test",
+        steps=[
+            PipelineStep("baseband", ""),
+            PipelineStep("bbframe", "dvbs2_demod", {
+                "symbolrate": symbolrate, "rrc_alpha": 0.25,
+                "modcod": modcod, "shortframes": short, "pilots": pilots,
+            }),
+            PipelineStep("ts", "dvbs2_ts_extractor", {
+                "modcod": modcod, "shortframes": short,
+            }),
+        ],
+        parameters={})
+    out = run_pipeline(pipe, str(bb_path), str(tmp_path / "out"),
+                       user_params={"samplerate": samplerate,
+                                    "buffer_size": 1 << 17})
+    got = np.fromfile(out, dtype=np.uint8)
+    assert len(got) >= 188 * 20, f"only {len(got)//188} TS packets"
+    got = got[: len(got) // 188 * 188].reshape(-1, 188)
+    sent = {r.tobytes() for r in ts}
+    bad = sum(r.tobytes() not in sent for r in got)
+    assert bad == 0, f"{bad} corrupted TS packets"
