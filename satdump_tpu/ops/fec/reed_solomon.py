@@ -43,13 +43,25 @@ def _build_gf_tables(poly: int = PRIM_POLY) -> Tuple[np.ndarray, np.ndarray]:
 GF_EXP, GF_LOG = _build_gf_tables()
 
 
-def gf_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    a = np.asarray(a, np.int32)
-    b = np.asarray(b, np.int32)
-    la, lb = GF_LOG[a], GF_LOG[b]
+def _build_mul_table() -> np.ndarray:
+    """Full 256x256 GF(256) product table (64 KB): one fancy-index gather
+    per vectorized multiply instead of two log lookups + add/mod/exp."""
+    a = np.arange(256)
+    la, lb = GF_LOG[a][:, None], GF_LOG[a][None, :]
     s = la + lb
     out = np.where(s >= 0, GF_EXP[np.clip(s, 0, 509) % 255], 0)
-    return np.where((a == 0) | (b == 0), 0, out).astype(np.int32)
+    out[0, :] = 0
+    out[:, 0] = 0
+    return out.astype(np.uint8)
+
+
+GF_MUL = _build_mul_table()
+
+
+def gf_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """GF(256) product, elementwise-broadcast; one table gather, dtype uint8.
+    (Products are GF elements <= 255, so no caller needs a wider dtype.)"""
+    return GF_MUL[a, b]
 
 
 def gf_inv(a: np.ndarray) -> np.ndarray:
@@ -129,20 +141,58 @@ class ReedSolomon:
         return out
 
     # -- decode -------------------------------------------------------------
+    def _syndrome_table(self) -> np.ndarray:
+        """C[i, v, :] = v * P[i, :] — the contribution of byte value v at
+        position i to every syndrome. One row-gather per byte instead of a
+        per-(byte, root) scalar gather (8x fewer index ops)."""
+        if getattr(self, "_syn_tab", None) is None:
+            deg = (254 - np.arange(255))
+            j = np.arange(self.nroots)
+            expo = np.mod(deg[:, None].astype(np.int64)
+                          * self.prim * (self.fcr + j)[None, :], 255)
+            P = GF_EXP[expo].astype(np.uint8)          # (255, nroots)
+            self._syn_tab = GF_MUL[np.arange(256)[None, :, None],
+                                   P[:, None, :]]      # (255, 256, nroots)
+        return self._syn_tab
+
     def syndromes(self, cw: np.ndarray) -> np.ndarray:
         """cw: (B, 255). S_j = c(alpha^(prim*(fcr+j))), c with byte i as the
-        coefficient of x^(254-i). Returns (B, nroots) int32."""
-        B = cw.shape[0]
-        deg = (254 - np.arange(255))  # degree of byte i
-        j = np.arange(self.nroots)
-        # power matrix P[i, j] = alpha^(deg_i * prim * (fcr+j))
-        expo = np.mod(deg[:, None].astype(np.int64) * self.prim * (self.fcr + j)[None, :], 255)
-        P = GF_EXP[expo]  # (255, nroots)
-        terms = gf_mul(cw[:, :, None], P[None, :, :])  # (B,255,nroots)
-        S = np.bitwise_xor.reduce(terms, axis=1)
-        return S.astype(np.int32)
+        coefficient of x^(254-i). Returns (B, nroots) uint8."""
+        C = self._syndrome_table()
+        terms = C[np.arange(255)[None, :], cw]         # (B, 255, nroots)
+        return np.bitwise_xor.reduce(terms, axis=1)
 
-    def decode(self, cw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def _syndrome_bitmatrix(self) -> np.ndarray:
+        """GF(2) bit-sliced syndrome operator M (2040, nroots*8) f32:
+        S_bits = cw_bits @ M mod 2. GF(256) is a GF(2) vector space and
+        multiplication by the constant P[i,j] is linear, so the whole
+        syndrome map is one binary matmul — BLAS on host, MXU-shaped on
+        TPU (SURVEY §7's 'GF math on lanes', done properly as matmul)."""
+        if getattr(self, "_syn_M", None) is None:
+            deg = (254 - np.arange(255))
+            j = np.arange(self.nroots)
+            expo = np.mod(deg[:, None].astype(np.int64)
+                          * self.prim * (self.fcr + j)[None, :], 255)
+            P = GF_EXP[expo].astype(np.uint8)              # (255, nroots)
+            basis = (1 << (7 - np.arange(8))).astype(np.uint8)
+            # prod[i, k, j] = mul(2^(7-k), P[i, j])
+            prod = GF_MUL[basis[None, :, None], P[:, None, :]]
+            bits = np.unpackbits(prod[..., None], axis=-1, count=8)
+            M = bits.reshape(255 * 8, self.nroots * 8)
+            self._syn_M = M.astype(np.float32)
+        return self._syn_M
+
+    def check(self, cw: np.ndarray) -> np.ndarray:
+        """Fast parity check: True where the codeword is already valid.
+        One (B, 2040) x (2040, nroots*8) matmul (exact in f32: row sums
+        <= 2040 << 2^24)."""
+        cw = np.atleast_2d(np.asarray(cw, np.uint8))
+        bits = np.unpackbits(cw, axis=-1).astype(np.float32)
+        s = bits @ self._syndrome_bitmatrix()
+        return ~(s.astype(np.int64) & 1).any(axis=-1)
+
+    def decode(self, cw: np.ndarray, _all_bad: bool = False
+               ) -> Tuple[np.ndarray, np.ndarray]:
         """cw: (..., 255) uint8. Returns (corrected (..., 255), nerrors (...,))
         with nerrors = -1 for uncorrectable codewords (left unmodified)."""
         single = cw.ndim == 1
@@ -150,7 +200,27 @@ class ReedSolomon:
         B = cw.shape[0]
         nroots = self.nroots
         t = nroots // 2
-        S = self.syndromes(cw)  # (B, nroots)
+        if not _all_bad:
+            clean = self.check(cw)
+            if clean.all():
+                # fast path: every codeword checks out — skip BM/Chien/
+                # Forney entirely (the common case for post-Viterbi streams)
+                nerrors = np.zeros(B, np.int32)
+                if single:
+                    return cw[0], nerrors[0]
+                return cw, nerrors
+            if clean.any():
+                # decode only the erroneous lanes, merge back
+                bad = ~clean
+                fixed, nerr_bad = self.decode(cw[bad], _all_bad=True)
+                out = cw.copy()
+                out[bad] = fixed
+                nerrors = np.zeros(B, np.int32)
+                nerrors[bad] = nerr_bad
+                if single:
+                    return out[0], nerrors[0]
+                return out, nerrors
+        S = self.syndromes(cw)
         no_errors = ~S.any(axis=1)
 
         # Berlekamp-Massey, vectorized over batch:

@@ -65,7 +65,31 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
         self.deframer = CCSDSDeframer(self.cadu_size, self.asm)
         self.rs = ReedSolomon(k=223 if self.rs_type == "rs223" else 239) if self.rs_i else None
         self.nrzm_last = 0
-        self.block = int(self.param("buffer_size", 0) or (1 << 20))
+        self.block = int(self.param("buffer_size", 0) or (8 << 20))
+
+    def _process_frames(self, frames, fout, rs_avg):
+        """Batched frame pipeline: derand + RS + write, vectorized over all
+        frames of a chunk at once (one BM/Chien/Forney pass over
+        frames×interleave codeword lanes instead of a per-frame loop)."""
+        if not frames:
+            return 0
+        cadus = np.stack(frames).astype(np.uint8)        # (F, bytes)
+        if self.derand and not self.derand_after_rs:
+            cadus[:, self.derand_from:] = derand_ccsds(cadus[:, self.derand_from:])
+        valid = np.ones(len(cadus), bool)
+        if self.rs is not None:
+            payload = cadus[:, 4: 4 + 255 * self.rs_i]
+            corrected, errs = self.rs.decode_interleaved(
+                payload, self.rs_dualbasis, self.rs_i)
+            cadus[:, 4: 4 + 255 * self.rs_i] = corrected
+            valid = (errs >= 0).all(axis=1)
+            rs_avg.append(errs.reshape(-1))
+        if self.derand and self.derand_after_rs:
+            cadus[:, self.derand_from:] = derand_ccsds(cadus[:, self.derand_from:])
+        if self.rs_usecheck:
+            cadus = cadus[valid]
+        fout.write(cadus[:, : self.cadu_bytes].tobytes())
+        return len(cadus)
 
     def process(self):
         ext = ".cadu" if self.is_ccsds else ".frm"
@@ -77,37 +101,22 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
         with open(out_path, "wb") as fout:
             for off in range(0, len(soft), self.block):
                 chunk = soft[off: off + self.block]
+                last = off + self.block >= len(soft)
                 if self.bpsk_90 or self.iq_invert:
                     chunk = rotate_soft(chunk, PHASE_0, iq_swap=True)
-                bits = self.viterbi.work(chunk)
+                bits = self.viterbi.work(chunk, last=last)
                 if len(bits) == 0:
                     continue
                 if self.diff_decode:
                     bits, self.nrzm_last = differential.nrzm_decode(bits, self.nrzm_last)
                 frames = self.deframer.work(bits)
-                for cadu in frames:
-                    cadu = np.array(cadu, np.uint8)
-                    if self.derand and not self.derand_after_rs:
-                        cadu[self.derand_from:] = derand_ccsds(cadu[self.derand_from:])
-                    valid = True
-                    if self.rs is not None:
-                        payload = cadu[4: 4 + 255 * self.rs_i]
-                        corrected, errs = self.rs.decode_interleaved(
-                            payload, self.rs_dualbasis, self.rs_i)
-                        cadu[4: 4 + 255 * self.rs_i] = corrected
-                        valid = (errs >= 0).all()
-                        rs_avg.append(errs)
-                    if self.derand and self.derand_after_rs:
-                        cadu[self.derand_from:] = derand_ccsds(cadu[self.derand_from:])
-                    if not self.rs_usecheck or valid:
-                        fout.write(cadu[: self.cadu_bytes].tobytes())
-                        nframes += 1
+                nframes += self._process_frames(frames, fout, rs_avg)
         self.stats = {
             "frames": nframes,
             "viterbi_ber": self.viterbi.ber,
             "viterbi_lock": self.viterbi.getState(),
             "deframer_lock": self.deframer.state,
-            "rs_avg": float(np.mean(rs_avg)) if rs_avg else 0.0,
+            "rs_avg": float(np.mean(np.concatenate(rs_avg))) if rs_avg else 0.0,
         }
         logger.info(f"Decoded {nframes} CADUs (viterbi ber {self.viterbi.ber:.3f}, "
                     f"rs avg {self.stats['rs_avg']:.2f})")

@@ -29,6 +29,9 @@ TEST_BITS = 2048  # soft values in the BER test window (ref TEST_BITS_LENGTH)
 ST_IDLE = 0
 ST_SYNCED = 1
 
+HALO = 128    # pairs of decode context carried across work() calls
+SEG = 1024    # tiled-decoder lane segment (pairs)
+
 
 def _ber(raw_u8: np.ndarray, reenc: np.ndarray, scale: float) -> float:
     """ref get_ber (viterbi_1_2.cpp:38-50 / viterbi_punc.cpp:38-50):
@@ -63,8 +66,8 @@ class Viterbi12Sync:
         self.invalid = 0
         self.ber = 10.0
         self.traceback = traceback
-        self._stream = cc.StreamViterbi(batch=1, traceback=traceback)
-        self._leftover = np.zeros(0, np.int8)
+        self._carry = np.zeros(0, np.uint8)
+        self._emit_from = 0
 
     def _shift_range(self) -> range:
         if self.depunc is None:
@@ -108,16 +111,22 @@ class Viterbi12Sync:
         self.ber = best_ber
         self.state = ST_SYNCED
         self.invalid = 0
-        self._stream = cc.StreamViterbi(batch=1, traceback=self.traceback)
-        self._leftover = np.zeros(0, np.int8)
+        self._carry = np.zeros(0, np.uint8)
+        self._emit_from = 0
         if self.depunc is not None:
             self.depunc.set_shift(self.shift)
         return True
 
     # -- streaming decode ----------------------------------------------------
-    def work(self, soft: np.ndarray) -> np.ndarray:
+    def work(self, soft: np.ndarray, last: bool = False) -> np.ndarray:
         """soft: signed int8 soft symbols (interleaved for QPSK). Returns
-        decoded hard bits (uint8), possibly empty while unlocked."""
+        decoded hard bits (uint8), possibly empty while unlocked.
+
+        Decodes with the lane-parallel tiled Viterbi (one device call per
+        work() chunk — frames in lanes, not a per-sample scan): each call
+        re-decodes HALO carried pairs on each side of the seam so emitted
+        bits always have full trellis context; the trailing HALO pairs are
+        deferred to the next call (or emitted when `last`)."""
         soft = np.asarray(soft, np.int8)
         if self.state == ST_IDLE:
             if not self._search(soft):
@@ -131,22 +140,27 @@ class Viterbi12Sync:
         u8 = cc.soft_int8_to_u8(rotated)
         if self.depunc is not None:
             u8 = self.depunc.depunc_cont(u8)
-        buf = np.concatenate([self._leftover_u8(), u8]) if len(self._leftover) else u8
+        buf = np.concatenate([self._carry, u8]) if len(self._carry) else u8
         n_pairs = len(buf) // 2
-        self._leftover = buf[n_pairs * 2:].astype(np.int8)  # store raw u8-128
-        if n_pairs == 0:
+        tail_keep = 0 if last else HALO
+        if n_pairs - self._emit_from - tail_keep <= 0:
+            self._carry = buf
             return np.zeros(0, np.uint8)
-        pairs = buf[: n_pairs * 2].astype(np.float32).reshape(1, n_pairs, 2)
-        bits = self._stream.decode(xfer.put(pairs))[0]
 
-        # BER check on the first TEST_BITS of this buffer via re-encode
-        # (ref viterbi_1_2.cpp:105-122) — note the streamed bits lag by D,
-        # so compare the re-encode of aligned history instead: cheap proxy =
-        # re-encode the freshly decoded bits against the matching delayed softs
-        D = self.traceback
-        if n_pairs > D + 256:
-            reenc = cc.conv_encode_batch(bits[D:])
-            raw = buf[: len(reenc)]
+        T = -(-n_pairs // SEG) * SEG
+        pairs = np.full((T, 2), 128.0, np.float32)
+        pairs[:n_pairs] = buf[: 2 * n_pairs].reshape(-1, 2)
+        bits = xfer.get(cc.viterbi_decode_tiled(
+            xfer.put(pairs), seg=SEG, ovl=HALO)).astype(np.uint8)[:n_pairs]
+        out = bits[self._emit_from: n_pairs - tail_keep]
+
+        # BER via re-encode over a mid-stream window (ref viterbi_1_2.cpp:
+        # 105-122), away from the cold lane edges
+        w0 = min(self._emit_from + 256, max(0, n_pairs - TEST_BITS))
+        w1 = min(w0 + TEST_BITS, n_pairs)
+        if w1 - w0 >= 512:
+            reenc = cc.conv_encode_batch(bits[w0:w1])
+            raw = buf[2 * w0: 2 * w0 + len(reenc)]
             self.ber = _ber(raw.astype(np.uint8), reenc, self.berscale)
             if self.ber > self.ber_threshold:
                 self.invalid += 1
@@ -154,10 +168,13 @@ class Viterbi12Sync:
                     self.state = ST_IDLE
             else:
                 self.invalid = 0
-        return bits
 
-    def _leftover_u8(self) -> np.ndarray:
-        return self._leftover.astype(np.uint8)
+        # carry 2·HALO pairs: the first HALO as decode context (already
+        # emitted), the last HALO deferred (no right context yet)
+        nc = min(2 * HALO, n_pairs)
+        self._carry = buf[(n_pairs - nc) * 2:]
+        self._emit_from = nc - tail_keep
+        return out
 
     def getState(self) -> int:
         return self.state
