@@ -21,6 +21,8 @@ import numpy as np
 from satdump_tpu.ccsds import CCSDSPacket, Demuxer, parse_ccsds_time, parse_vcdu
 from satdump_tpu.core.log import logger
 from satdump_tpu.pipeline.module import ProcessingModule, register_module
+from satdump_tpu.products.calibration import (ImageCalibrator,
+                                              calibrator_registry)
 from satdump_tpu.products.image_product import ImageProduct
 from satdump_tpu.products.product import DataSet
 from satdump_tpu.utils.repack import repack_10bit
@@ -29,6 +31,64 @@ METOP_SCIDS = {12: ("MetOp-A", 29499), 11: ("MetOp-B", 38771),
                13: ("MetOp-C", 43689)}
 
 AVHRR_WAVENUMBERS = [0.0, 0.0, 2669.12, 928.81, 831.53, 0.0]  # ch 3b,4,5 IR
+
+
+class NoaaAVHRR3Calibrator(ImageCalibrator):
+    """AVHRR/3 radiometric calibrator, vectorized over whole channels
+    (ref plugins/noaa_metop_support/instruments/avhrr/avhrr_calibrator.h):
+
+    * visible channels (abs 0..2): dual-slope counts->reflectance (split at
+      the lo/hi crossover), then reflectance -> radiance via F/pi;
+    * IR channels (abs 3..5): space/blackbody two-point linear radiance
+      (Ns + (Nbb-Ns)(Spc-c)/(Spc-Blb)) + quadratic non-linearity correction
+      b0 + b1*Nlin + b2*Nlin^2, per line when `perLine_perChannel` telemetry
+      averages are present, else from the per-channel constants.
+    """
+
+    RADIANCE_FACTORS = [1.0345143074006786, 1.2401744729666442,
+                        1.3026239067055392]
+
+    def __init__(self, product, cfg):
+        super().__init__(product, cfg)
+        v = cfg.get("vars", {})
+        self.per_channel = v.get("perChannel", [])
+        self.per_line = v.get("perLine_perChannel")
+        imgs = getattr(product, "images", None)
+        self.factor = 2 ** (10 - imgs[0].bit_depth) if imgs else 1
+
+    def compute(self, channel_idx: int, counts: np.ndarray) -> np.ndarray:
+        from satdump_tpu.products.calibration import CALIBRATION_INVALID_VALUE
+        c = np.asarray(counts, np.float64)
+        out = np.full(c.shape, CALIBRATION_INVALID_VALUE)
+        if channel_idx > 5 or channel_idx >= len(self.per_channel):
+            return out
+        pc = self.per_channel[channel_idx]
+        if channel_idx < 3:
+            if "slope_lo" not in pc or "F" not in pc:
+                return out
+            crossover = (pc["int_hi"] - pc["int_lo"]) / \
+                (pc["slope_lo"] - pc["slope_hi"])
+            px = c * self.factor
+            refl = np.where(px <= crossover,
+                            pc["slope_lo"] * px + pc["int_lo"],
+                            pc["slope_hi"] * px + pc["int_hi"]) / 100.0
+            rad = (pc["F"] / np.pi) * refl \
+                * self.RADIANCE_FACTORS[channel_idx]
+            return np.where(c == 0, CALIBRATION_INVALID_VALUE, rad)
+        if self.per_line is not None:
+            rows = np.asarray([
+                [ln[channel_idx][k] for k in ("Ns", "Nbb", "Spc", "Blb")]
+                for ln in self.per_line])                    # (lines, 4)
+            Ns, Nbb, Spc, Blb = (rows[:, i][:, None] for i in range(4))
+        else:
+            Ns, Nbb, Spc, Blb = (pc[k] for k in ("Ns", "Nbb", "Spc", "Blb"))
+        nlin = Ns + (Nbb - Ns) * (Spc - c) / (Spc - Blb)
+        b = pc["b"]
+        rad = nlin + b[0] + b[1] * nlin + b[2] * nlin * nlin
+        return np.where(c == 0, CALIBRATION_INVALID_VALUE, rad)
+
+
+calibrator_registry.register("noaa_avhrr3", NoaaAVHRR3Calibrator)
 
 
 class AVHRRReader:
@@ -117,6 +177,12 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             for i, ch in enumerate(avhrr.channels()):
                 p.add_channel(ch, names[i], bit_depth=16,
                               wavenumber=AVHRR_WAVENUMBERS[i])
+            # radiometric calibration cfg: per-channel constants from the
+            # pipeline params (ref builds them from the NOAA KLM constants
+            # resource + PRT telemetry, avhrr_reader.cpp:265-318)
+            calib = self.param("avhrr_calib")
+            if calib:
+                p.set_calibration("noaa_avhrr3", dict(calib))
             # matches reference projections_settings/metop_abc_avhrr.json
             p.set_proj_cfg_tle_timestamps(
                 {"type": "normal_line", "scan_angle": 110.6,

@@ -155,11 +155,15 @@ class Viterbi12Sync:
         out = bits[self._emit_from: n_pairs - tail_keep]
 
         # BER via re-encode over a mid-stream window (ref viterbi_1_2.cpp:
-        # 105-122), away from the cold lane edges
-        w0 = min(self._emit_from + 256, max(0, n_pairs - TEST_BITS))
+        # 105-122) — centered, away from the cold lane edges and from the
+        # head of the stream (where the demod loops are still converging)
+        w0 = max(self._emit_from + 256, (n_pairs - TEST_BITS) // 2)
         w1 = min(w0 + TEST_BITS, n_pairs)
         if w1 - w0 >= 512:
-            reenc = cc.conv_encode_batch(bits[w0:w1])
+            # re-encode with K-1 bits of history so the encoder register is
+            # correct at the window start (else the first taps mismatch)
+            h = min(8, w0)
+            reenc = cc.conv_encode_batch(bits[w0 - h: w1])[2 * h:]
             raw = buf[2 * w0: 2 * w0 + len(reenc)]
             self.ber = _ber(raw.astype(np.uint8), reenc, self.berscale)
             if self.ber > self.ber_threshold:
