@@ -144,6 +144,56 @@ def cmd_bench(args, extra: List[str]) -> int:
     return 0
 
 
+def cmd_live(args, extra: List[str]) -> int:
+    """Live decode from a streaming source (ref src-cli/legacy/live.cpp):
+    source spec `tcp://host:port` (remote-IQ protocol) or `file://path`
+    (throttle-free playback). Optional --http-port serves /status JSON."""
+    from satdump_tpu.pipeline.live import LivePipeline
+    from satdump_tpu.pipeline.pipeline import pipeline_registry
+
+    _load_all_pipelines([args.pipelines_dir] if args.pipelines_dir else None)
+    try:
+        pipe = pipeline_registry.get(args.id)
+    except Exception:
+        logger.error(f"unknown pipeline '{args.id}' (see `list`)")
+        return 2
+    params = _collect_kv(extra)
+    lp = LivePipeline(pipe, args.output, user_params=params)
+
+    status_srv = None
+    if args.http_port is not None:
+        from satdump_tpu.core.http_status import StatusServer
+        status_srv = StatusServer(lambda: lp.stats, port=args.http_port)
+        status_srv.start()
+        logger.info(f"HTTP status on :{status_srv.port}/status")
+
+    src = args.source
+    try:
+        if src.startswith("tcp://"):
+            from satdump_tpu.io.net import RemoteIQClient
+            host, port = src[6:].rsplit(":", 1)
+            client = RemoteIQClient(host, int(port))
+            outs = lp.run_source(client.blocks())
+            client.close()
+        elif src.startswith("file://") or "://" not in src:
+            from satdump_tpu.io.baseband import BasebandReader
+            path = src[7:] if src.startswith("file://") else src
+            lp.start()
+            reader = BasebandReader(path, str(params.get(
+                "baseband_format", "cf32")), block_size=lp.block_size)
+            for blk in reader.blocks():
+                lp.push(blk.samples[: blk.valid])
+            outs = lp.stop()
+        else:
+            logger.error(f"unknown source spec '{src}'")
+            return 2
+    finally:
+        if status_srv is not None:
+            status_srv.stop()
+    print(json.dumps({"outputs": outs, "stats": lp.stats}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="satdump_tpu",
@@ -181,6 +231,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n", type=int, default=1 << 20,
                    help="samples per block")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("live", help="live decode from a streaming source")
+    p.add_argument("id")
+    p.add_argument("source", help="tcp://host:port or file://path")
+    p.add_argument("output")
+    p.add_argument("--http-port", type=int, default=None,
+                   help="serve /status JSON on this port (0 = ephemeral)")
+    p.set_defaults(fn=cmd_live)
     return ap
 
 

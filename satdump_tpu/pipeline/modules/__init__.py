@@ -3,4 +3,5 @@
 import satdump_tpu.pipeline.modules.demod  # noqa: F401
 import satdump_tpu.pipeline.modules.ccsds  # noqa: F401
 import satdump_tpu.pipeline.modules.dvbs2  # noqa: F401
+import satdump_tpu.pipeline.modules.network  # noqa: F401
 import satdump_tpu.xrit.goes  # noqa: F401

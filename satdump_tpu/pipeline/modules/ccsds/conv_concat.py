@@ -91,26 +91,50 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
         fout.write(cadus[:, : self.cadu_bytes].tobytes())
         return len(cadus)
 
+    # -- streaming interface (shared by the offline and live runners) -------
+    def stream_start(self) -> None:
+        self._nframes = 0
+        self._rs_avg = []
+
+    def stream_work(self, chunk: np.ndarray, fout, last: bool = False
+                    ) -> int:
+        """One soft chunk -> CADUs written to `fout`. Returns frames added."""
+        if self.bpsk_90 or self.iq_invert:
+            chunk = rotate_soft(chunk, PHASE_0, iq_swap=True)
+        bits = self.viterbi.work(chunk, last=last)
+        if len(bits) == 0:
+            return 0
+        if self.diff_decode:
+            bits, self.nrzm_last = differential.nrzm_decode(bits, self.nrzm_last)
+        frames = self.deframer.work(bits)
+        n = self._process_frames(frames, fout, self._rs_avg)
+        self._nframes += n
+        self._update_stats()
+        return n
+
+    def _update_stats(self) -> None:
+        rs_avg = self._rs_avg
+        self.stats = {
+            "frames": self._nframes,
+            "viterbi_ber": self.viterbi.ber,
+            "viterbi_lock": self.viterbi.getState(),
+            "deframer_lock": self.deframer.state,
+            "rs_avg": float(np.mean(np.concatenate(rs_avg))) if rs_avg else 0.0,
+        }
+
     def process(self):
         ext = ".cadu" if self.is_ccsds else ".frm"
         out_path = self.d_output_file_hint + ext
         self.d_output_file = out_path
-        nframes = 0
-        rs_avg = []
+        self.stream_start()
         soft = np.fromfile(self.d_input_file, dtype=np.int8)
         with open(out_path, "wb") as fout:
             for off in range(0, len(soft), self.block):
                 chunk = soft[off: off + self.block]
                 last = off + self.block >= len(soft)
-                if self.bpsk_90 or self.iq_invert:
-                    chunk = rotate_soft(chunk, PHASE_0, iq_swap=True)
-                bits = self.viterbi.work(chunk, last=last)
-                if len(bits) == 0:
-                    continue
-                if self.diff_decode:
-                    bits, self.nrzm_last = differential.nrzm_decode(bits, self.nrzm_last)
-                frames = self.deframer.work(bits)
-                nframes += self._process_frames(frames, fout, rs_avg)
+                self.stream_work(chunk, fout, last=last)
+        nframes = self._nframes
+        rs_avg = self._rs_avg
         self.stats = {
             "frames": nframes,
             "viterbi_ber": self.viterbi.ber,

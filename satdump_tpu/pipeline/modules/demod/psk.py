@@ -151,33 +151,49 @@ class PSKDemodModule(BaseDemodModule):
             clock_recovery.mm_init(omega=sps, mu=self.clock_mu),
         )
 
-    def process(self):
+    # -- streaming interface (shared by the offline and live runners) -------
+    def stream_start(self) -> None:
         self._build()
-        out_path = self.d_output_file_hint + ".soft"
-        self.d_output_file = out_path
-        reader = self.open_input(self.block_size)
+        self._nsyms = 0
+        self._peak_snr = -100.0
+        self._snr = -100.0
         logger.info(f"Constellation: {self.constellation}; samplerate "
                     f"{self.d_samplerate} -> {self.final_samplerate} "
                     f"(sps {self.final_sps:.2f}); block {self.block_size}")
-        nsyms = 0
-        peak_snr = -100.0
+
+    def stream_work(self, samples: np.ndarray, valid: int | None = None,
+                    last: bool = False) -> np.ndarray:
+        """One fixed-size complex64 block (pad the tail with zeros) ->
+        int8 soft symbols."""
+        self._state, syms, vmask, snr = self._step(self._state,
+                                                   xfer.put(samples))
+        s = xfer.get(syms)[xfer.get(vmask)]
+        if last and valid is not None and valid < self.block_size:
+            # padded tail: drop symbols sourced from the zero padding
+            keep = int(len(s) * valid / self.block_size) + 2
+            s = s[:min(keep, len(s))]
+        self._snr = float(snr)
+        self._peak_snr = max(self._peak_snr, self._snr)
+        if self.is_bpsk:
+            out = xfer.get(stages.bpsk_soft(xfer.put(s.real), 50.0))
+        else:
+            out = np.empty(2 * len(s), np.int8)
+            out[0::2] = np.clip(s.real * 100.0, -127, 127).astype(np.int8)
+            out[1::2] = np.clip(s.imag * 100.0, -127, 127).astype(np.int8)
+        self._nsyms += len(s)
+        self.stats = {"snr": self._snr, "peak_snr": self._peak_snr,
+                      "symbols": self._nsyms}
+        return out
+
+    def process(self):
+        self.stream_start()
+        out_path = self.d_output_file_hint + ".soft"
+        self.d_output_file = out_path
+        reader = self.open_input(self.block_size)
         with open(out_path, "wb") as f:
             for blk in reader.blocks():
-                self._state, syms, valid, snr = self._step(self._state, xfer.put(blk.samples))
-                s = xfer.get(syms)[xfer.get(valid)]
-                if blk.last and blk.valid < self.block_size:
-                    # padded tail: drop symbols sourced from the zero padding
-                    keep = int(len(s) * blk.valid / self.block_size) + 2
-                    s = s[:min(keep, len(s))]
-                snr_v = float(snr)
-                peak_snr = max(peak_snr, snr_v)
-                if self.is_bpsk:
-                    out = xfer.get(stages.bpsk_soft(xfer.put(s.real), 50.0))
-                else:
-                    out = np.empty(2 * len(s), np.int8)
-                    out[0::2] = np.clip(s.real * 100.0, -127, 127).astype(np.int8)
-                    out[1::2] = np.clip(s.imag * 100.0, -127, 127).astype(np.int8)
+                out = self.stream_work(blk.samples, valid=blk.valid,
+                                       last=blk.last)
                 f.write(out.tobytes())
-                nsyms += len(s)
-        self.stats = {"snr": snr_v, "peak_snr": peak_snr, "symbols": nsyms}
-        logger.info(f"Demodulated {nsyms} symbols, SNR {snr_v:.1f} dB")
+        logger.info(f"Demodulated {self._nsyms} symbols, "
+                    f"SNR {self._snr:.1f} dB")
