@@ -46,7 +46,7 @@ def _build(n, sps, K):
         soft = jnp.stack([jnp.real(syms), jnp.imag(syms)], axis=-1)
         soft = jnp.clip(soft * 100.0, -127, 127)
         u8 = (soft + 128.0).reshape(-1, 2)[: nbits]
-        bits = cc.viterbi_decode_tiled(u8, seg=1024, ovl=128)
+        bits = cc.viterbi_decode_tiled_re(u8, seg=1024, ovl=128)
         return state, jnp.sum(bits.astype(jnp.float32))
 
     def run(xs):  # xs: (K, n) complex64

@@ -127,7 +127,7 @@ def _viterbi_stage(n):
 
     def fn(xr):
         u = (jnp.clip(xr[: nbits * 2] * 100.0, -127, 127) + 128.0)
-        return cc.viterbi_decode_tiled(u.reshape(-1, 2), seg=1024, ovl=128
+        return cc.viterbi_decode_tiled_re(u.reshape(-1, 2), seg=1024, ovl=128
                                        ).astype(jnp.float32)
 
     return fn

@@ -150,7 +150,12 @@ class Viterbi12Sync:
         T = -(-n_pairs // SEG) * SEG
         pairs = np.full((T, 2), 128.0, np.float32)
         pairs[:n_pairs] = buf[: 2 * n_pairs].reshape(-1, 2)
-        bits = xfer.get(cc.viterbi_decode_tiled(
+        # register-exchange for rate 1/2 (fastest, truncation depth 63 is
+        # ample); punctured rates have much longer effective constraint, so
+        # they use the full-traceback tiled decoder
+        decode = cc.viterbi_decode_tiled_re if self.depunc is None \
+            else cc.viterbi_decode_tiled
+        bits = xfer.get(decode(
             xfer.put(pairs), seg=SEG, ovl=HALO)).astype(np.uint8)[:n_pairs]
         out = bits[self._emit_from: n_pairs - tail_keep]
 
