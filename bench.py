@@ -50,7 +50,7 @@ def _build(n, sps, K):
         return state, jnp.sum(bits.astype(jnp.float32))
 
     def run(xs):  # xs: (K, n) complex64
-        st = ffsync.ff_clock_init()
+        st = ffsync.ff_clock_init(rrc_ntaps=31)
         st, sums = jax.lax.scan(block_step, st, xs)
         # Real data dependency on every block's Viterbi output: a *0.0 here
         # would let XLA dead-code-eliminate the entire demod+FEC chain.

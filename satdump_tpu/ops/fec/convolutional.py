@@ -263,8 +263,10 @@ def viterbi_decode_tiled_re(soft: jnp.ndarray, seg: int = 1024,
         cand_a = pm[:, :32, None] + bmA
         cand_b = pm[:, 32:, None] + bmB
         dec = cand_b < cand_a
+        # no per-step renorm: metrics grow <= 510/step and stay exact in
+        # f32 for the bounded seg+2*ovl lane length (same argument as the
+        # traceback path's renorm=False)
         new_pm = jnp.minimum(cand_a, cand_b).reshape(L, NSTATES)
-        new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
         sel_lo = jnp.where(
             dec, jnp.broadcast_to(lo[:, 32:, None], dec.shape),
             jnp.broadcast_to(lo[:, :32, None], dec.shape)).reshape(L, NSTATES)

@@ -53,16 +53,25 @@ from satdump_tpu.utils import xfer
 # ---------------------------------------------------------------------------
 # Carrier frequency: FFT of x^M (modulation stripping)
 # ---------------------------------------------------------------------------
-def cfo_estimate(x: jnp.ndarray, order: int) -> jnp.ndarray:
+def cfo_estimate(x: jnp.ndarray, order: int,
+                 suppress_nyquist_image: bool = False) -> jnp.ndarray:
     """Coarse+fine carrier frequency offset estimate, cycles/sample.
 
     Raises the (unit-normalized) signal to the Mth power to strip M-PSK
     modulation, takes the FFT, and refines the peak bin with quadratic
     interpolation. Accurate to ~1/(10·N) cycles/sample at working SNR.
+
+    At 2 samples/symbol, x^M alternates clean symbol-instant tones with
+    mid-symbol junk; this fs/2 alternation modulates the carrier line into
+    an equal-strength image at f±fs/2 that the argmax can lock instead
+    (measured: -0.1249 for a true +0.0001). `suppress_nyquist_image`
+    pre-averages adjacent samples (an exact null at fs/2) before the FFT.
     """
     n = x.shape[-1]
     u = x / jnp.maximum(jnp.abs(x), 1e-12)
     xm = u ** order
+    if suppress_nyquist_image:
+        xm = 0.5 * (xm + jnp.roll(xm, -1))
     X = jnp.fft.fft(xm)
     p = jnp.abs(X)
     k = jnp.argmax(p)
@@ -149,6 +158,18 @@ def vv_phase_track(x: jnp.ndarray, order: int, sub: int,
 # ---------------------------------------------------------------------------
 # Timing: Oerder&Meyr spectral-line estimator + linear drift fit
 # ---------------------------------------------------------------------------
+_HALF_SAMPLE_FIR = None
+
+
+def _half_sample_taps(ntaps: int = 15) -> np.ndarray:
+    global _HALF_SAMPLE_FIR
+    if _HALF_SAMPLE_FIR is None:
+        k = np.arange(ntaps) - ntaps // 2
+        h = np.sinc(k - 0.5) * np.hamming(ntaps)
+        _HALF_SAMPLE_FIR = (h / h.sum()).astype(np.float32)
+    return _HALF_SAMPLE_FIR
+
+
 def om_timing_fit(x: jnp.ndarray, sps: float, sub: int
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Estimate (tau0, skew) such that symbol k sits at tau0 + k·sps·(1+skew).
@@ -158,10 +179,33 @@ def om_timing_fit(x: jnp.ndarray, sps: float, sub: int
     line through the unwrapped per-sub-block estimates yields the block-wide
     timing offset and clock skew (two scalars — this *is* the two-pass
     "timing-estimate then resample" formulation from SURVEY.md §7).
+
+    Near 2 samples/symbol the symbol-rate line of |x|² sits at Nyquist and
+    its quadrature component is unobservable (the +Rs/−Rs alias fold is
+    real). x itself is bandlimited below Nyquist though, so the timing
+    observable is rebuilt alias-free: interpolate x by 2 (15-tap half-sample
+    FIR), form |x|² at 4 sps, and run the same estimator there.
     """
-    n = x.shape[-1]
+    if sps < 2.1:
+        hs = _half_sample_taps()
+        nt = len(hs)
+        xe = jnp.concatenate(
+            [jnp.zeros(nt // 2, x.dtype), x, jnp.zeros(nt // 2, x.dtype)])
+        xh = jnp.zeros_like(x)
+        for k in range(nt):
+            xh = xh + hs[k] * xe[k: k + x.shape[-1]]
+        e2 = jnp.stack([jnp.abs(x) ** 2, jnp.abs(xh) ** 2],
+                       axis=-1).reshape(-1)
+        tau_e, skew = _om_core(e2, 2.0 * sps, 2 * sub)
+        return tau_e * 0.5, skew
+    return _om_core(jnp.abs(x) ** 2, sps, sub)
+
+
+def _om_core(e_sig: jnp.ndarray, sps: float, sub: int
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n = e_sig.shape[-1]
     nsub = n // sub
-    e = (jnp.abs(x) ** 2)[: nsub * sub].reshape(nsub, sub)
+    e = e_sig[: nsub * sub].reshape(nsub, sub)
     ng = (jnp.arange(nsub * sub, dtype=jnp.float32)).reshape(nsub, sub)
     tone = jnp.exp(-2j * jnp.pi * ng / sps)
     c = jnp.sum(e.astype(jnp.complex64) * tone, axis=-1)   # (nsub,)
@@ -195,15 +239,19 @@ class FFClockState(NamedTuple):
                              # blocks so the corrected signal stays
                              # phase-continuous (else the V&V ambiguity would
                              # re-resolve arbitrarily at every block seam)
+    rrc_history: jnp.ndarray = None  # (rrc_ntaps-1,) matched-filter input
+                             # tail; empty -> zero-history per block (legacy)
 
 
-def ff_clock_init(ntaps: int = 8, dtype=jnp.complex64) -> FFClockState:
+def ff_clock_init(ntaps: int = 8, dtype=jnp.complex64, rrc_ntaps: int = 0
+                  ) -> FFClockState:
     return FFClockState(
         next_pos=jnp.zeros((), jnp.float32),
         history=xfer.zeros((ntaps - 1,), dtype),
         last_phase=jnp.zeros((), jnp.float32),
         last_f=jnp.zeros((), jnp.float32),
         nco_phase=jnp.zeros((), jnp.float32),
+        rrc_history=xfer.zeros((max(rrc_ntaps - 1, 0),), dtype),
     )
 
 
@@ -409,17 +457,28 @@ def ff_psk_demod_block(state: FFClockState, x: jnp.ndarray, *, order: int,
     g = 1.0 / jnp.maximum(jnp.mean(jnp.abs(x)), 1e-12)
     x = x * g.astype(x.dtype)
 
-    # matched filter (causal overlap-save FFT, zero history — the halo covers it)
+    # matched filter (causal overlap-save FFT). When the state carries an
+    # RRC history tail the filter is seam-exact across blocks; with an empty
+    # history (legacy states) each block starts cold and the deframer halo
+    # absorbs the ntaps-long seam transient.
     ntaps_rrc = rrc_taps.shape[0]
-    nfft = max(256, 1 << int(np.ceil(np.log2(n + ntaps_rrc - 1))))
-    X = jnp.fft.fft(x, nfft)
+    rh = state.rrc_history
+    carry_rrc = rh is not None and rh.shape[0] == ntaps_rrc - 1
+    xmf_in = jnp.concatenate([rh * g.astype(rh.dtype), x]) if carry_rrc else x
+    n_mf = xmf_in.shape[0]
+    skip = ntaps_rrc - 1 if carry_rrc else 0
+    nfft = max(256, 1 << int(np.ceil(np.log2(n_mf + ntaps_rrc - 1))))
+    X = jnp.fft.fft(xmf_in, nfft)
     H = jnp.fft.fft(rrc_taps.astype(jnp.float32), nfft)
-    xf = jnp.fft.ifft(X * H)[: n].astype(jnp.complex64)
+    xf = jnp.fft.ifft(X * H)[skip: skip + n].astype(jnp.complex64)
+    if carry_rrc:
+        # store the *pre-AGC-normalized* tail so next block's gain applies
+        state = state._replace(rrc_history=(x / g.astype(x.dtype))[n - (ntaps_rrc - 1):])
 
     # carrier: coarse CFO + fine V&V phase (continuity-carried). Diagonal
     # QPSK (points at ±45°/±135°, the soft-symbol convention of
     # module_psk_demod.cpp:203-213) puts u^4 at e^{jπ}: pass θ0 = π/4.
-    f = cfo_estimate(xf, order)
+    f = cfo_estimate(xf, order, suppress_nyquist_image=(sps < 2.1))
     xc = cfo_correct(xf, f, state.nco_phase)
     nco = jnp.mod(state.nco_phase + 2 * jnp.pi * f * n, 2 * jnp.pi)
     theta0 = float(np.pi / 4) if order == 4 else 0.0

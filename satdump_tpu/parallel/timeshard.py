@@ -114,7 +114,7 @@ def build_sharded_qpsk_step(mesh: Mesh, *, sps: float, block: int,
                               * jnp.fft.fft(rrc.astype(jnp.float32), nfft)
                               )[: n_ext].astype(jnp.complex64)
             # carrier: per-shard CFO + V&V phase (ambiguity fixed at seams)
-            f = ffsync.cfo_estimate(xf, order)
+            f = ffsync.cfo_estimate(xf, order, suppress_nyquist_image=(sps < 2.1))
             xc = ffsync.cfo_correct(xf, f)
             ph_t, _ = ffsync.vv_phase_track(xc, order, sub_phase,
                                             const_rotation=theta0)

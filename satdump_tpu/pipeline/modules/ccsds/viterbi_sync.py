@@ -128,16 +128,21 @@ class Viterbi12Sync:
         bits always have full trellis context; the trailing HALO pairs are
         deferred to the next call (or emitted when `last`)."""
         soft = np.asarray(soft, np.int8)
+        drop = 0
         if self.state == ST_IDLE:
             if not self._search(soft):
                 return np.zeros(0, np.uint8)
-            # rate 1/2: apply the pair shift once at lock by dropping values;
-            # punctured rates realign inside the depuncturer instead
+            # rate 1/2: apply the pair shift once at lock by dropping values
+            # AFTER rotation (the search rotates the raw window first, then
+            # shifts — viterbi_1_2.cpp ordering); punctured rates realign
+            # inside the depuncturer instead
             if self.depunc is None:
-                soft = soft[self.shift:]
+                drop = self.shift
 
         rotated = rotate_soft(soft, self.phase, self.iq_swap)
         u8 = cc.soft_int8_to_u8(rotated)
+        if drop:
+            u8 = u8[drop:]
         if self.depunc is not None:
             u8 = self.depunc.depunc_cont(u8)
         buf = np.concatenate([self._carry, u8]) if len(self._carry) else u8

@@ -52,6 +52,56 @@ class PSKDemodModule(BaseDemodModule):
         # `fast: true` selects the feedforward sync chain (ops/ffsync.py) —
         # no per-sample recurrences; the TPU throughput path.
         self.fast = bool(self.param("fast", False))
+        # `multichip: true` shards consecutive time-blocks of the stream
+        # over the device mesh (parallel/timeshard.py — halo exchange +
+        # seam phase stitching over ICI); requires fast + >1 device.
+        self.multichip = bool(self.param("multichip", False))
+
+    # -- multichip: time-sharded demod over the device mesh ------------------
+    def _build_multichip(self) -> bool:
+        import jax
+        if not self.fast or jax.device_count() < 2 or self.resample \
+                or self.d_frequency_shift or self.is_bpsk:
+            return False
+        from satdump_tpu.parallel import make_mesh
+        self._mesh = make_mesh(n_ch=1)
+        self._n_t = self._mesh.shape["t"]
+        return True
+
+    def _process_multichip(self):
+        from satdump_tpu.parallel import build_sharded_qpsk_step, shard_input
+        out_path = self.d_output_file_hint + ".soft"
+        self.d_output_file = out_path
+        from satdump_tpu.io.baseband import read_baseband
+        data, _ = read_baseband(self.d_input_file, self.d_format)
+        # one sharded step over the whole recording: seam phase-stitching
+        # collectives keep every shard's rotation consistent with shard 0,
+        # so the emitted soft stream is globally coherent (timeshard.py)
+        block = -(-len(data) // (self._n_t * 4096)) * 4096
+        halo = min(8192, block // 4)
+        step = build_sharded_qpsk_step(
+            self._mesh, sps=self.final_sps, block=block, halo=halo,
+            rrc_alpha=self.rrc_alpha, rrc_ntaps=self.rrc_taps,
+            order=_ORDER[self.constellation])
+        super_n = self._n_t * block
+        logger.info(f"multichip: mesh(t={self._n_t}), shard block {block}, "
+                    f"halo {halo}")
+        chunk = np.concatenate(
+            [data, np.zeros(super_n - len(data), np.complex64)]) \
+            if len(data) < super_n else data[:super_n]
+        soft, valid, _bits = step(shard_input(
+            chunk.reshape(1, super_n), self._mesh))
+        soft = np.asarray(soft)            # (t, 1, cap*2) int8
+        valid = np.asarray(valid)          # (t, 1, cap)
+        nsyms = 0
+        with open(out_path, "wb") as f:
+            for t in range(self._n_t):
+                s = soft[t, 0].reshape(-1, 2)[valid[t, 0]]
+                f.write(s.astype(np.int8).tobytes())
+                nsyms += len(s)
+        self.stats = {"symbols": nsyms, "mesh_t": self._n_t}
+        logger.info(f"multichip demodulated {nsyms} symbols "
+                    f"over {self._n_t} t-shards")
 
     # -- the jitted per-block chain -----------------------------------------
     def _build(self):
@@ -111,7 +161,7 @@ class PSKDemodModule(BaseDemodModule):
                 stages.freq_shift_init(),
                 stages.dc_block_init(),
                 resamp.rational_resampler_init(interp, r_bank.shape[1] if do_resample else 8),
-                ffsync.ff_clock_init(),
+                ffsync.ff_clock_init(rrc_ntaps=self.rrc_ntaps),
             )
             return
 
@@ -186,6 +236,14 @@ class PSKDemodModule(BaseDemodModule):
         return out
 
     def process(self):
+        if self.multichip:
+            self.compute_rates()
+            self.block_size = self.choose_block_size(self.block_base)
+            if self._build_multichip():
+                return self._process_multichip()
+            logger.warning("multichip requested but unavailable "
+                           "(need fast + >1 device + no resample); "
+                           "falling back to single-device path")
         self.stream_start()
         out_path = self.d_output_file_hint + ".soft"
         self.d_output_file = out_path
