@@ -100,11 +100,25 @@ def main():
 
     dt = max(t2 - t1, 1e-9)
     msps = n * (K2 - K1) / dt / 1e6
+
+    # Roofline/MFU (SURVEY §5: first-class): algorithmic flops per input
+    # sample of the direct-form chain (what the math requires, not what the
+    # FFT formulation spends) — MF 31-tap cplx*real FIR (124), modulation
+    # strip+FFT CFO (~123), V&V (~30), O&M timing (~20), polyphase pick
+    # (8 taps, 32/sym -> 16), quantize (4), Viterbi 64-state ACS+RE
+    # (~14*64/bit -> 448). DSP chains are VPU/elementwise-bound, so MFU
+    # against the bf16 MXU peak is inherently small — reported for the
+    # roofline trend, not as a target.
+    flops_per_sample = 124 + 123 + 30 + 20 + 16 + 4 + 448
+    gflops = msps * 1e6 * flops_per_sample / 1e9
+    peak_bf16_gflops = 197e3  # v5e MXU peak
     print(json.dumps({
         "metric": "qpsk_baseband_to_bits_throughput_1chip",
         "value": round(msps, 2),
         "unit": "Msamp/s",
         "vs_baseline": round(msps / 6.0, 2),
+        "algorithmic_gflops": round(gflops, 1),
+        "mfu": round(gflops / peak_bf16_gflops, 5),
     }))
 
 
