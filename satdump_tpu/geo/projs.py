@@ -124,17 +124,100 @@ def geos_inverse(x, y, lon0=0.0, sweep_x=False):
     return lon, lat
 
 
+def tmerc_forward(lon, lat, lon0=0.0, lat0=0.0):
+    """Transverse Mercator (spherical form, ref projection/standard/tmerc.c
+    behavior). Returns meters."""
+    lam = np.radians(np.asarray(lon, np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    B = np.clip(np.cos(phi) * np.sin(lam), -1 + 1e-12, 1 - 1e-12)
+    x = 0.5 * R_EARTH * np.log((1 + B) / (1 - B))
+    y = R_EARTH * (np.arctan2(np.tan(phi), np.cos(lam))
+                   - np.radians(lat0))
+    return x, y
+
+
+def tmerc_inverse(x, y, lon0=0.0, lat0=0.0):
+    x = np.asarray(x, np.float64) / R_EARTH
+    D = np.asarray(y, np.float64) / R_EARTH + np.radians(lat0)
+    lat = np.degrees(np.arcsin(np.clip(np.sin(D) / np.cosh(x), -1, 1)))
+    lon = lon0 + np.degrees(np.arctan2(np.sinh(x), np.cos(D)))
+    return lon, lat
+
+
+def tpers_forward(lon, lat, lon0=0.0, lat0=0.0, altitude=35785831.0,
+                  tilt=0.0, azi=0.0):
+    """Tilted/near-sided perspective (General Perspective, ref
+    projection/standard/tpers.c semantics; GEOS is its nadir geostationary
+    special case). Returns meters in the view plane; NaN where the point is
+    on the far side."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64) - lon0)
+    phi0 = np.radians(lat0)
+    P = 1.0 + altitude / R_EARTH
+    cosc = (np.sin(phi0) * np.sin(phi)
+            + np.cos(phi0) * np.cos(phi) * np.cos(lam))
+    k = (P - 1.0) / (P - cosc)
+    x = R_EARTH * k * np.cos(phi) * np.sin(lam)
+    y = R_EARTH * k * (np.cos(phi0) * np.sin(phi)
+                       - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+    vis = cosc >= 1.0 / P
+    if tilt or azi:
+        w, g = np.radians(tilt), np.radians(azi)
+        yt = y * np.cos(g) + x * np.sin(g)
+        xt = x * np.cos(g) - y * np.sin(g)
+        H = R_EARTH * (P - 1.0)
+        A = (yt * np.sin(w) + H) / H
+        x, y = xt * np.cos(w) / A, yt / A
+    return np.where(vis, x, np.nan), np.where(vis, y, np.nan)
+
+
+def tpers_inverse(x, y, lon0=0.0, lat0=0.0, altitude=35785831.0,
+                  tilt=0.0, azi=0.0):
+    """General Perspective inverse (Snyder 1987 eq. 25-11..25-15)."""
+    x = np.asarray(x, np.float64).copy()
+    y = np.asarray(y, np.float64).copy()
+    if tilt or azi:
+        w, g = np.radians(tilt), np.radians(azi)
+        H = altitude
+        yt = y * H / (H - y * np.sin(w))
+        xt = x * (yt * np.sin(w) + H) / (H * np.cos(w))
+        x = xt * np.cos(g) + yt * np.sin(g)
+        y = yt * np.cos(g) - xt * np.sin(g)
+    phi0 = np.radians(lat0)
+    P = 1.0 + altitude / R_EARTH
+    xr = x / R_EARTH
+    yr = y / R_EARTH
+    rho = np.hypot(xr, yr)
+    disc = 1.0 - rho * rho * (P + 1.0) / (P - 1.0)
+    valid = disc >= 0
+    denom = (P - 1.0) / np.maximum(rho, 1e-30) + rho / (P - 1.0)
+    sinc = (P - np.sqrt(np.maximum(disc, 0.0))) / denom
+    c = np.arcsin(np.clip(sinc, -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lat = np.degrees(np.arcsin(np.clip(
+            np.cos(c) * np.sin(phi0)
+            + yr * sinc * np.cos(phi0) / np.maximum(rho, 1e-30), -1, 1)))
+        lon = lon0 + np.degrees(np.arctan2(
+            xr * sinc,
+            rho * np.cos(phi0) * np.cos(c) - yr * np.sin(phi0) * sinc))
+    lat = np.where(rho < 1e-12, lat0, lat)
+    lon = np.where(rho < 1e-12, lon0, lon)
+    return (np.where(valid, lon, np.nan), np.where(valid, lat, np.nan))
+
+
 _FORWARD = {"equirectangular": equirect_forward, "equirect": equirect_forward,
             "webmerc": webmerc_forward, "mercator": webmerc_forward,
-            "stereo": stereo_forward, "geos": geos_forward}
+            "stereo": stereo_forward, "geos": geos_forward,
+            "tmerc": tmerc_forward, "tpers": tpers_forward}
 _INVERSE = {"equirectangular": equirect_inverse, "equirect": equirect_inverse,
             "webmerc": webmerc_inverse, "mercator": webmerc_inverse,
-            "stereo": stereo_inverse, "geos": geos_inverse}
+            "stereo": stereo_inverse, "geos": geos_inverse,
+            "tmerc": tmerc_inverse, "tpers": tpers_inverse}
 
 
 def _kwargs(cfg: dict) -> dict:
     out = {}
-    for k in ("lon0", "lat0", "lat_ts", "sweep_x"):
+    for k in ("lon0", "lat0", "lat_ts", "sweep_x", "altitude", "tilt", "azi"):
         if k in cfg:
             out[k] = cfg[k]
     return out
