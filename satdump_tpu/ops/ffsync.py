@@ -429,6 +429,38 @@ def ff_clock_recovery(state: FFClockState, x: jnp.ndarray, *, sps: float,
     return new_state, syms, valid
 
 
+def _segmented_mf(x: jnp.ndarray, taps: np.ndarray,
+                  seg: int = 1 << 14) -> jnp.ndarray:
+    """Matched filter via SEGMENTED overlap-save: a batch of seg-point FFTs
+    instead of one next-pow2(n) monolith (for n=2M the monolith pads to 4M
+    and runs ~3x slower than the batched small transforms). Output y[k] =
+    sum_t taps[t] * x[k - t + ntaps - 1] windowed causally on x (same
+    alignment as the single-FFT form it replaces)."""
+    ntaps = taps.shape[0]
+    n = x.shape[-1]
+    if n <= seg:
+        nfft = max(256, 1 << int(np.ceil(np.log2(n + ntaps - 1))))
+        X = jnp.fft.fft(x, nfft)
+        H = jnp.fft.fft(jnp.asarray(taps, jnp.float32), nfft)
+        return jnp.fft.ifft(X * H)[:n].astype(jnp.complex64)
+    nseg = -(-n // seg)
+    pad = nseg * seg - n
+    xp = jnp.concatenate([jnp.zeros(ntaps - 1, x.dtype), x,
+                          jnp.zeros(pad, x.dtype)])
+    # overlapping windows: segment i covers [i*seg, i*seg + seg + ntaps - 1)
+    # of xp -> via two strided views (head: (nseg, ntaps-1), body reshape)
+    body = xp[ntaps - 1:].reshape(nseg, seg)
+    head = jnp.concatenate([
+        xp[: ntaps - 1][None],
+        body[:-1, seg - (ntaps - 1):]], axis=0)          # (nseg, ntaps-1)
+    wins = jnp.concatenate([head, body], axis=1)         # (nseg, seg+ntaps-1)
+    nfft = 1 << int(np.ceil(np.log2(seg + ntaps - 1)))
+    H = jnp.fft.fft(jnp.asarray(taps, jnp.float32), nfft)
+    Y = jnp.fft.ifft(jnp.fft.fft(wins, nfft, axis=-1) * H[None], axis=-1)
+    y = Y[:, ntaps - 1: ntaps - 1 + seg].reshape(-1)
+    return y[:n].astype(jnp.complex64)
+
+
 # ---------------------------------------------------------------------------
 # Composite feedforward PSK demod block (the flagship compute path)
 # ---------------------------------------------------------------------------
@@ -465,15 +497,14 @@ def ff_psk_demod_block(state: FFClockState, x: jnp.ndarray, *, order: int,
     rh = state.rrc_history
     carry_rrc = rh is not None and rh.shape[0] == ntaps_rrc - 1
     xmf_in = jnp.concatenate([rh * g.astype(rh.dtype), x]) if carry_rrc else x
-    n_mf = xmf_in.shape[0]
     skip = ntaps_rrc - 1 if carry_rrc else 0
-    nfft = max(256, 1 << int(np.ceil(np.log2(n_mf + ntaps_rrc - 1))))
-    X = jnp.fft.fft(xmf_in, nfft)
-    H = jnp.fft.fft(rrc_taps.astype(jnp.float32), nfft)
-    xf = jnp.fft.ifft(X * H)[skip: skip + n].astype(jnp.complex64)
+    xf = _segmented_mf(xmf_in, rrc_taps)[skip: skip + n]
     if carry_rrc:
         # store the *pre-AGC-normalized* tail so next block's gain applies
-        state = state._replace(rrc_history=(x / g.astype(x.dtype))[n - (ntaps_rrc - 1):])
+        # (slice first — a full-array divide just to keep 30 samples is HBM
+        # traffic for nothing)
+        tail = x[n - (ntaps_rrc - 1):]
+        state = state._replace(rrc_history=tail / g.astype(tail.dtype))
 
     # carrier: coarse CFO + fine V&V phase (continuity-carried). Diagonal
     # QPSK (points at ±45°/±135°, the soft-symbol convention of
