@@ -161,3 +161,22 @@ def test_json_inc_include(tmp_path):
     p = pipes["test_inc"]
     assert [s.level for s in p.steps] == ["baseband", "soft"]
     assert p.steps[1].module_id == "psk_demod"
+
+
+def test_mission_pipeline_breadth():
+    """VERDICT r1 #9: >= 25 mission pipelines load and every referenced
+    module id resolves in the registry."""
+    from satdump_tpu.pipeline.module import (module_registry,
+                                             register_all_modules)
+    from satdump_tpu.pipeline.pipeline import (load_pipelines_dir,
+                                               pipeline_registry)
+    register_all_modules()
+    load_pipelines_dir("resources/pipelines")
+    ids = [k for k, _ in pipeline_registry.items()]
+    assert len(ids) >= 25, f"only {len(ids)} pipelines"
+    for pid in ids:
+        p = pipeline_registry.get(pid)
+        for st in p.steps:
+            if st.module_id:
+                assert module_registry.get_opt(st.module_id) is not None, \
+                    (pid, st.module_id)
