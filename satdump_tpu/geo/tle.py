@@ -97,6 +97,41 @@ def parse_tle_file(path: str | Path) -> List[TLE]:
     return out
 
 
+def update_tles_from_source(registry: "TLERegistry", source: str) -> int:
+    """Refresh the registry from a TLE source (ref kepler_handler.h's
+    network auto-update). `source` is a local path, a file:// URL, or an
+    http(s) URL (fetched with urllib when egress exists; callers on
+    air-gapped hosts point at a mirrored file). Returns TLEs updated."""
+    text: str
+    if source.startswith(("http://", "https://", "file://")):
+        import urllib.request
+        with urllib.request.urlopen(source, timeout=30) as r:
+            text = r.read().decode()
+    else:
+        from pathlib import Path as _P
+        text = _P(source).read_text()
+    lines = [ln.rstrip() for ln in text.splitlines() if ln.strip()]
+    n = 0
+    i = 0
+    while i + 2 < len(lines) + 1:
+        if i + 2 < len(lines) and lines[i + 1].startswith("1 ") \
+                and lines[i + 2].startswith("2 "):
+            registry.add(TLE.parse(lines[i].strip(), lines[i + 1],
+                                   lines[i + 2]))
+            n += 1
+            i += 3
+        elif lines[i].startswith("1 ") and i + 1 < len(lines) \
+                and lines[i + 1].startswith("2 "):
+            registry.add(TLE.parse("", lines[i], lines[i + 1]))
+            n += 1
+            i += 2
+        else:
+            i += 1
+    if registry.path:
+        registry.save()
+    return n
+
+
 class TLERegistry:
     """NORAD -> TLE store, JSON-file persisted (the Kepler DB analogue)."""
 
