@@ -144,6 +144,90 @@ def cmd_bench(args, extra: List[str]) -> int:
     return 0
 
 
+def cmd_autotrack(args, extra: List[str]) -> int:
+    """Headless automated ground station (ref src-cli/legacy/autotrack):
+    config JSON {qth:{lat,lon,alt}, tle_file, satellites:[{norad,
+    frequency, pipeline, min_elevation}], source, output}. Computes the
+    pass schedule; with --dry-run prints it and exits, else engages the
+    scheduler: each AOS starts a live pipeline on the source until LOS."""
+    import time as _time
+
+    from satdump_tpu.geo.tle import parse_tle_file
+    from satdump_tpu.tracking.scheduler import (AutoTrackScheduler,
+                                                TrackedObject)
+
+    cfg = json.loads(open(args.config).read())
+    qth = cfg["qth"]
+    tles = {t.norad: t for t in parse_tle_file(cfg["tle_file"])}
+    sched = AutoTrackScheduler(qth["lat"], qth["lon"],
+                               qth.get("alt_km", 0.0),
+                               multi_mode=cfg.get("multi_mode", False))
+    for s in cfg["satellites"]:
+        sched.track(TrackedObject(
+            norad=int(s["norad"]), tle=tles[int(s["norad"])],
+            frequency_hz=float(s.get("frequency", 0)),
+            pipeline_id=s.get("pipeline", ""),
+            min_elevation=float(s.get("min_elevation", 0))))
+    t0 = float(cfg.get("start_time", _time.time()))
+    sched.compute_passes(t0, horizon_s=float(cfg.get("horizon_s", 43200)))
+    sel = sched.upcoming_sel
+    print(json.dumps({"passes": [
+        {"norad": p.norad, "aos": p.aos, "los": p.los,
+         "max_elevation": round(p.max_elevation, 1)} for p in sel]}))
+    if args.dry_run:
+        return 0
+
+    _load_all_pipelines([args.pipelines_dir] if args.pipelines_dir else None)
+    from satdump_tpu.pipeline.live import LivePipeline
+    from satdump_tpu.pipeline.pipeline import pipeline_registry
+
+    running: dict = {}
+
+    def on_aos(p, obj):
+        pipe = pipeline_registry.get(obj.pipeline_id)
+        out = f"{cfg['output']}/{p.norad}_{int(p.aos)}"
+        lp = LivePipeline(pipe, out, user_params=dict(
+            cfg.get("params", {}),
+            freq_shift=obj.frequency_hz - float(cfg.get("center_freq",
+                                                        obj.frequency_hz))))
+        lp.start()
+        running[p.norad] = lp
+        logger.info(f"AOS {p.norad}: live pipeline {obj.pipeline_id} -> {out}")
+
+    def on_los(p, obj):
+        lp = running.pop(p.norad, None)
+        if lp:
+            outs = lp.stop()
+            logger.info(f"LOS {p.norad}: outputs {outs}")
+
+    sched.aos_callback = on_aos
+    sched.los_callback = on_los
+
+    from satdump_tpu.io.net import RemoteIQClient
+    host, port = cfg["source"][6:].rsplit(":", 1)
+    client = RemoteIQClient(host, int(port))
+    status = None
+    if args.http_port is not None:
+        from satdump_tpu.core.http_status import StatusServer
+        status = StatusServer(
+            lambda: {"passes": len(sel),
+                     "active": {str(k): v.stats for k, v in running.items()}},
+            port=args.http_port)
+        status.start()
+    try:
+        for blk in client.blocks():
+            sched.tick(_time.time())
+            for lp in running.values():
+                lp.push(blk)
+    finally:
+        for lp in list(running.values()):
+            lp.stop()
+        client.close()
+        if status:
+            status.stop()
+    return 0
+
+
 def cmd_live(args, extra: List[str]) -> int:
     """Live decode from a streaming source (ref src-cli/legacy/live.cpp):
     source spec `tcp://host:port` (remote-IQ protocol) or `file://path`
@@ -231,6 +315,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n", type=int, default=1 << 20,
                    help="samples per block")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("autotrack",
+                       help="headless automated ground station")
+    p.add_argument("config", help="autotrack config JSON")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the pass schedule and exit")
+    p.add_argument("--http-port", type=int, default=None)
+    p.set_defaults(fn=cmd_autotrack)
 
     p = sub.add_parser("live", help="live decode from a streaming source")
     p.add_argument("id")
