@@ -67,3 +67,30 @@ class QPSKDiff:
             out[0::2] = ou >> 1
             out[1::2] = ou & 1
         return out
+
+
+def nrzi_encode(bits: np.ndarray, last: int = 0) -> Tuple[np.ndarray, int]:
+    """NRZ-I: transition encodes a 0 (ref codings/differential/nrzi.h) —
+    the complement convention of NRZ-M."""
+    bits = np.asarray(bits, np.uint8)
+    out = (np.cumsum(1 - bits) + last) & 1
+    return out.astype(np.uint8), int(out[-1]) if len(out) else last
+
+
+def nrzi_decode(bits: np.ndarray, last: int = 0) -> Tuple[np.ndarray, int]:
+    bits = np.asarray(bits, np.uint8)
+    prev = np.concatenate([[last], bits[:-1]])
+    return (1 - (bits ^ prev)).astype(np.uint8), \
+        int(bits[-1]) if len(bits) else last
+
+
+def nrzs_encode(bits: np.ndarray, last: int = 0) -> Tuple[np.ndarray, int]:
+    """NRZ-S: transition encodes a 1? No — NRZ-S holds level for a 1 and
+    transitions for a 0's complement; it is NRZ-M of the inverted stream
+    (ref codings/differential/ nrzs variant)."""
+    return nrzm_encode(1 - np.asarray(bits, np.uint8), last)
+
+
+def nrzs_decode(bits: np.ndarray, last: int = 0) -> Tuple[np.ndarray, int]:
+    out, st = nrzm_decode(bits, last)
+    return (1 - out).astype(np.uint8), st

@@ -330,7 +330,7 @@ def _strip_geometry(sps: float, ntaps: int, skew_max: float = 0.004
     if s0 < 1:
         return None
     drift_rate = abs(sps - s0) + s0 * skew_max    # samples/symbol of drift
-    D = 16
+    D = 24
     budget = D - ntaps - 2
     if drift_rate <= 0:
         return 2048, D

@@ -275,3 +275,108 @@ def test_deframer_seam_counts_match_contiguous(rng):
     assert df_one.st.d_good == df_blk.st.d_good
     assert df_one.st.d_invalid == df_blk.st.d_invalid
     assert df_one.st.state == df_blk.st.state
+
+
+def test_manchester_roundtrip(rng):
+    from satdump_tpu.ops.fec.codings_misc import (manchester_decode,
+                                                  manchester_encode,
+                                                  manchester_phase)
+    bits = rng.integers(0, 2, 999, dtype=np.uint8)
+    chips = manchester_encode(bits)
+    assert manchester_phase(chips) == 0
+    assert np.array_equal(manchester_decode(chips), bits)
+    # offset stream: phase detector finds the half-bit slip
+    assert manchester_phase(chips[1:]) == 1
+    assert np.array_equal(manchester_decode(chips[1:], 1), bits[1:])
+
+
+def test_lfsr_maximal_length():
+    from satdump_tpu.ops.fec.codings_misc import LFSR
+    # a 5-bit register admits a maximal (2^5-1) sequence for some primitive
+    # feedback mask (lfsr.h: "maximal length ... if supplied with a
+    # primitive polynomial") — find one and check the period
+    best = 0
+    best_mask = 1
+    for mask in range(1, 32):
+        l = LFSR(mask=mask, seed=1, reg_len=5)
+        states = set()
+        st = l.reg
+        p = 0
+        while st not in states:
+            states.add(st)
+            l.next_bit()
+            st = l.reg
+            p += 1
+        if p > best:
+            best, best_mask = p, mask
+    assert best == 31
+    # the output sequence repeats with the register period
+    l = LFSR(mask=best_mask, seed=1, reg_len=5)
+    seq = l.sequence(124)
+    per = None
+    for p in range(1, 63):
+        if np.array_equal(seq[: len(seq) - p], seq[p:]):
+            per = p
+            break
+    assert per is not None and per <= 31
+
+
+def test_simple_deframer(rng):
+    from satdump_tpu.ops.fec.codings_misc import SimpleDeframer
+    frames = rng.integers(0, 2, (3, 160), dtype=np.uint8)
+    sync = 0x1ACF
+    sw = ((sync >> np.arange(15, -1, -1)) & 1).astype(np.uint8)
+    for f in frames:
+        f[:16] = sw
+    stream = np.concatenate([rng.integers(0, 2, 37, dtype=np.uint8)] +
+                            [f for f in frames])
+    d = SimpleDeframer(sync, 16, 160, threshold=0)
+    got = []
+    got += d.work(stream[:200])
+    got += d.work(stream[200:])
+    assert len(got) == 3
+    for g, f in zip(got, frames):
+        assert np.array_equal(np.unpackbits(g), f)
+
+
+def test_hdlc_deframer(rng):
+    from satdump_tpu.ops.fec.codings_misc import HDLCDeframer
+    from satdump_tpu.ops.fec.crc import crc_ccitt
+
+    def make_frame(payload: np.ndarray) -> np.ndarray:
+        crc = crc_ccitt.compute(payload)
+        full = np.concatenate([payload,
+                               [crc & 0xFF, crc >> 8]]).astype(np.uint8)
+        # LSB-first bits + stuffing
+        bits = np.unpackbits(full[:, None], axis=1)[:, ::-1].reshape(-1)
+        out = []
+        ones = 0
+        for b in bits:
+            out.append(b)
+            ones = ones + 1 if b else 0
+            if ones == 5:
+                out.append(0)
+                ones = 0
+        flag = [0, 1, 1, 1, 1, 1, 1, 0]
+        return np.asarray(flag + out + flag, np.uint8)
+
+    payloads = [rng.integers(0, 256, n, dtype=np.uint8) for n in (20, 64)]
+    stream = np.concatenate(
+        [rng.integers(0, 2, 23, dtype=np.uint8)] +
+        [make_frame(p) for p in payloads] +
+        [rng.integers(0, 2, 17, dtype=np.uint8)])
+    d = HDLCDeframer(length_min=5, length_max=256)
+    got = d.work(stream)
+    assert len(got) == 2
+    for g, p in zip(got, payloads):
+        assert np.array_equal(g, p)
+
+
+def test_nrzi_nrzs_roundtrip(rng):
+    from satdump_tpu.ops.fec import differential as dd
+    bits = rng.integers(0, 2, 500, dtype=np.uint8)
+    for enc, dec in [(dd.nrzi_encode, dd.nrzi_decode),
+                     (dd.nrzs_encode, dd.nrzs_decode)]:
+        e, st = enc(bits)
+        o, _ = dec(e)
+        assert np.array_equal(o, bits)
