@@ -140,3 +140,92 @@ def mm_clock_recovery(state: MMState, x: jnp.ndarray, *,
         p_regs=p_regs, c_regs=c_regs, last_sample=last_sample,
     )
     return new_state, syms, valid
+
+
+class GardnerState(NamedTuple):
+    mu: jnp.ndarray
+    omega: jnp.ndarray
+    inc: jnp.ndarray
+    history: jnp.ndarray
+    last_sample: jnp.ndarray   # complex64
+
+
+def gardner_init(omega: float, mu: float = 0.5, ntaps: int = 8,
+                 dtype=jnp.complex64) -> GardnerState:
+    return GardnerState(
+        mu=jnp.asarray(mu, jnp.float32),
+        omega=jnp.asarray(omega, jnp.float32),
+        inc=jnp.zeros((), jnp.int32),
+        history=xfer.zeros((ntaps - 1,), dtype),
+        last_sample=jnp.zeros((), jnp.complex64),
+    )
+
+
+def gardner_clock_recovery(state: GardnerState, x: jnp.ndarray, *,
+                           omega_mid: float, gain_omega: float,
+                           gain_mu: float, omega_relative_limit: float,
+                           bank: jnp.ndarray | None = None,
+                           out_cap: int | None = None
+                           ) -> Tuple[GardnerState, jnp.ndarray, jnp.ndarray]:
+    """Gardner timing-error-detector clock recovery, block-sequential scan
+    (ref common/dsp/clock_recovery/clock_recovery_gardner.cpp:33-100):
+    per output symbol interpolate the on-time sample and the zero-crossing
+    (mid-symbol) sample half a symbol earlier; the TED is
+    Re{zc} * (Re{last} - Re{cur}) + Im-part analogue."""
+    if bank is None:
+        bank = mm_interpolator_bank()  # host np const
+    nfilt, ntaps = bank.shape
+    n = x.shape[-1]
+    if out_cap is None:
+        out_cap = int(np.ceil(
+            n / (omega_mid * (1.0 - omega_relative_limit)))) + 2
+    ext = jnp.concatenate([state.history[: ntaps - 1], x])
+    omega_limit = omega_relative_limit * omega_mid
+
+    def body(carry, _):
+        mu, omega, inc, last_sample = carry
+        valid = inc < n
+
+        # zero-crossing point half a symbol back (gardner.cpp:50-58)
+        muz = mu - omega / 2.0
+        offzc = jnp.floor(omega / 2.0).astype(jnp.int32)
+        mupos = jnp.mod(muz + offzc.astype(jnp.float32), 1.0)
+        neg = mupos < 0
+        mupos = jnp.where(neg, mupos + 1.0, mupos)
+        offzc = jnp.where(neg, offzc + 1, offzc)
+        imuz = jnp.clip(jnp.round(mupos * nfilt).astype(jnp.int32),
+                        0, nfilt - 1)
+        imu = jnp.clip(jnp.round(mu * nfilt).astype(jnp.int32), 0, nfilt - 1)
+
+        taps_zc = jax.lax.dynamic_slice(bank, (imuz, 0), (1, ntaps))[0]
+        taps_on = jax.lax.dynamic_slice(bank, (imu, 0), (1, ntaps))[0]
+        win_zc = jax.lax.dynamic_slice(
+            ext, (jnp.clip(inc - offzc, 0, n - 1),), (ntaps,))
+        win_on = jax.lax.dynamic_slice(
+            ext, (jnp.clip(inc, 0, n - 1),), (ntaps,))
+        zc = jnp.sum(win_zc * taps_zc)
+        sample = jnp.sum(win_on * taps_on)
+
+        phase_error = (jnp.real(zc) * (jnp.real(last_sample) - jnp.real(sample))
+                       + jnp.imag(zc) * (jnp.imag(last_sample) - jnp.imag(sample)))
+        phase_error = jnp.clip(phase_error, -1.0, 1.0)
+
+        omega_new = omega + gain_omega * phase_error
+        omega_new = omega_mid + jnp.clip(omega_new - omega_mid,
+                                         -omega_limit, omega_limit)
+        mu_new = mu + omega_new + gain_mu * phase_error
+        inc_new = jnp.maximum(inc + jnp.floor(mu_new).astype(jnp.int32), 0)
+        mu_new = mu_new - jnp.floor(mu_new)
+
+        mu = jnp.where(valid, mu_new, mu)
+        omega = jnp.where(valid, omega_new, omega)
+        inc = jnp.where(valid, inc_new, inc)
+        last_sample = jnp.where(valid, sample, last_sample)
+        return (mu, omega, inc, last_sample), (sample, valid)
+
+    carry0 = (state.mu, state.omega, state.inc, state.last_sample)
+    (mu, omega, inc, last_sample), (syms, valid) = jax.lax.scan(
+        body, carry0, None, length=out_cap)
+    syms = jnp.where(valid, syms, 0)
+    return GardnerState(mu=mu, omega=omega, inc=jnp.maximum(inc - n, 0),
+                        history=ext[n:], last_sample=last_sample), syms, valid

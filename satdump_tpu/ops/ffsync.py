@@ -194,44 +194,11 @@ def om_timing_fit(x: jnp.ndarray, sps: float, sub: int
         xh = jnp.zeros_like(x)
         for k in range(nt):
             xh = xh + hs[k] * xe[k: k + x.shape[-1]]
-        # tone-free form: the 4-sps tone e^{-j2πm/4} over the interleaved
-        # [e, eh] observable is (1, -i, -1, i) — per-sub correlations become
-        # strided differences, no complex multiply over 2N points
-        e = jnp.abs(x) ** 2
-        eh = jnp.abs(xh) ** 2
-        tau_e, skew = _om_core_quad(e, eh, sub)
+        e2 = jnp.stack([jnp.abs(x) ** 2, jnp.abs(xh) ** 2],
+                       axis=-1).reshape(-1)
+        tau_e, skew = _om_core(e2, 2.0 * sps, 2 * sub)
         return tau_e * 0.5, skew
     return _om_core(jnp.abs(x) ** 2, sps, sub)
-
-
-def _om_core_quad(e: jnp.ndarray, eh: jnp.ndarray, sub: int
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """O&M at 4 sps over the interleaved [e, eh] energy signal, with the
-    period-4 tone folded into strided sums. Mirrors _om_core's sub-block
-    fit; tau is returned in interleaved (half-)sample units at sps'=4."""
-    n2 = e.shape[-1] // 2 * 2
-    nsub = (2 * n2) // (2 * sub)
-    take = nsub * sub
-    ee = e[:take].reshape(nsub, sub // 2, 2)
-    hh = eh[:take].reshape(nsub, sub // 2, 2)
-    re = jnp.sum(ee[..., 0] - ee[..., 1], axis=-1)
-    im = -(jnp.sum(hh[..., 0] - hh[..., 1], axis=-1))
-    c = re + 1j * im                                    # (nsub,)
-    sps4 = 4.0
-    tau = -jnp.angle(c) / (2 * jnp.pi) * sps4
-    d = _wrap(jnp.diff(tau), sps4)
-    tau_u = jnp.concatenate([tau[:1], tau[0] + jnp.cumsum(d)])
-    tc = (jnp.arange(nsub, dtype=jnp.float32) + 0.5) * (2 * sub)
-    w = jnp.abs(c) + 1e-12
-    wm = jnp.sum(w)
-    tm = jnp.sum(w * tc) / wm
-    ym = jnp.sum(w * tau_u) / wm
-    cov = jnp.sum(w * (tc - tm) * (tau_u - ym))
-    var = jnp.sum(w * (tc - tm) ** 2)
-    slope = jnp.where(var > 0, cov / var, 0.0)
-    slope = jnp.clip(slope, -0.01, 0.01)
-    tau0 = ym - slope * tm
-    return tau0, slope
 
 
 def _om_core(e_sig: jnp.ndarray, sps: float, sub: int

@@ -132,3 +132,56 @@ def test_soft_quantization():
     np.testing.assert_array_equal(np.asarray(soft), [50, 25, -127, 127])
     b = stages.bpsk_soft(jnp.asarray(np.array([0.4, -3.0], dtype=np.float32)), 50.0)
     np.testing.assert_array_equal(np.asarray(b), [20, -127])
+
+
+def test_gardner_clock_recovery(rng):
+    """Gardner TED locks on a shaped BPSK stream and recovers symbols
+    (ref clock_recovery_gardner.cpp)."""
+    import jax.numpy as jnp
+
+    from satdump_tpu.ops import clock_recovery as cr
+    from satdump_tpu.ops import firdes
+    sps = 2.37
+    bits = rng.integers(0, 2, 4000, dtype=np.uint8)
+    sym = (1.0 - 2.0 * bits).astype(np.float32)
+    interp = 100
+    up = np.zeros(len(sym) * interp, np.complex64)
+    up[::interp] = sym
+    taps = firdes.root_raised_cosine(1.0, interp, 1.0, 0.5, 801)
+    shaped = np.convolve(up, taps * interp, "same")
+    step = int(interp / sps)
+    sps_actual = interp / step
+    x = shaped[::step][: 8192].astype(np.complex64)
+
+    st = cr.gardner_init(omega=sps_actual)
+    st, syms, valid = cr.gardner_clock_recovery(
+        st, jnp.asarray(x), omega_mid=sps_actual,
+        gain_omega=8.7e-3 ** 2 / 4,
+        gain_mu=8.7e-3, omega_relative_limit=0.01)
+    s = np.asarray(syms)[np.asarray(valid)]
+    # after acquisition the symbols sit near +-1 (eye open)
+    tail = np.real(s[len(s) // 2:])
+    assert (np.abs(np.abs(tail) - 1.0) < 0.35).mean() > 0.9
+
+
+def test_constellation_registry(rng):
+    from satdump_tpu.ops.constellation import (bits_per_symbol, get_points,
+                                               hard_demod, make_soft_lut,
+                                               soft_demod)
+    for kind, m in [("bpsk", 1), ("qpsk", 2), ("8psk", 3),
+                    ("16apsk", 4), ("32apsk", 5)]:
+        g1, g2 = (3.15, 0.0) if kind == "16apsk" else \
+            ((2.84, 5.27) if kind == "32apsk" else (0.0, 0.0))
+        pts = get_points(kind, g1, g2)
+        assert len(pts) == 2 ** m and bits_per_symbol(kind) == m
+        # noiseless hard demod inverts the mapping
+        idx = rng.integers(0, len(pts), 500)
+        got = hard_demod(pts[idx], kind, g1, g2)
+        assert np.array_equal(got, idx)
+        # soft demod signs agree with the symbol bits at high SNR
+        llr = soft_demod(pts[idx], kind, g1, g2, noise_var=0.01)
+        bits = ((idx[:, None] >> np.arange(m - 1, -1, -1)) & 1)
+        assert np.array_equal((llr > 0).astype(int), bits)
+    lut_bits, perr = make_soft_lut("qpsk", resolution=64)
+    assert lut_bits.shape == (64, 64, 2)
+    assert np.abs(perr).max() <= np.pi
