@@ -53,17 +53,23 @@ class Product:
             "contents": self.contents,
         }
 
-    def save(self, directory: str) -> str:
+    def save(self, directory: str, cbor: bool = False) -> str:
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        path = d / "product.json"
-        with open(path, "w") as f:
-            json.dump(self._meta(), f, indent=2)
+        if cbor:
+            # reference byte format: nlohmann to_cbor of the product dict
+            # (products/product.cpp saveProduct); utils/cbor.py mirrors it
+            from satdump_tpu.utils import cbor as _cbor
+            path = d / "product.cbor"
+            path.write_bytes(_cbor.encode(self._meta()))
+        else:
+            path = d / "product.json"
+            with open(path, "w") as f:
+                json.dump(self._meta(), f, indent=2)
         return str(path)
 
     def load(self, file: str) -> None:
-        with open(file) as f:
-            meta = json.load(f)
+        meta = _read_meta(file)
         self.instrument_name = meta.get("instrument", "")
         self.contents = meta.get("contents", {})
         self._load_extra(Path(file).parent, meta)
@@ -85,10 +91,22 @@ def register_product(cls):
     return cls
 
 
-def load_product(file: str) -> Product:
-    """Load any product by its saved type id (ref products::loadProduct)."""
+def _read_meta(file: str) -> dict:
+    if str(file).endswith(".cbor"):
+        from satdump_tpu.utils import cbor as _cbor
+        return _cbor.decode(Path(file).read_bytes())
     with open(file) as f:
-        meta = json.load(f)
+        return json.load(f)
+
+
+def load_product(file: str) -> Product:
+    """Load any product by its saved type id (ref products::loadProduct);
+    accepts product.json or the reference's product.cbor."""
+    p = Path(file)
+    if p.is_dir():
+        file = str(p / ("product.cbor" if (p / "product.cbor").exists()
+                        else "product.json"))
+    meta = _read_meta(file)
     t = meta.get("type", "product")
     if t not in product_loaders:
         raise SatdumpError(f"no loader for product type '{t}'")

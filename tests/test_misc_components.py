@@ -1,0 +1,119 @@
+"""Small-component parity: CBOR product store, header autodetect, text
+overlays, GFSK modulator, punctiform products."""
+
+import numpy as np
+import pytest
+
+from satdump_tpu.utils import cbor
+
+
+def test_cbor_roundtrip():
+    obj = {"a": 1, "b": -42, "big": 2 ** 40, "f": 3.5, "s": "héllo",
+           "arr": [1, 2.25, True, False, None, "x"],
+           "nested": {"k": [0, {"deep": 7}]},
+           "raw": b"\x00\x01\xff"}
+    assert cbor.decode(cbor.encode(obj)) == obj
+
+
+def test_cbor_interop_known_bytes():
+    # RFC 8949 appendix examples
+    assert cbor.encode(0) == b"\x00"
+    assert cbor.encode(23) == b"\x17"
+    assert cbor.encode(24) == b"\x18\x18"
+    assert cbor.encode(-1) == b"\x20"
+    assert cbor.encode("a") == b"\x61\x61"
+    assert cbor.encode([1, 2, 3]) == b"\x83\x01\x02\x03"
+    assert cbor.decode(b"\xf9\x3c\x00") == 1.0          # half float
+    assert cbor.decode(b"\xfb\x40\x09\x21\xfb\x54\x44\x2d\x18") == \
+        pytest.approx(3.141592653589793)
+
+
+def test_product_cbor_store(tmp_path):
+    from satdump_tpu.products.product import Product, load_product
+    p = Product()
+    p.instrument_name = "test_inst"
+    p.set_product_timestamp(123.5)
+    p.save(str(tmp_path), cbor=True)
+    assert (tmp_path / "product.cbor").exists()
+    q = load_product(str(tmp_path / "product.cbor"))
+    assert q.instrument_name == "test_inst"
+    assert q.get_product_timestamp() == 123.5
+    # directory form picks the cbor file
+    q2 = load_product(str(tmp_path))
+    assert q2.instrument_name == "test_inst"
+
+
+def test_punctiform_product(tmp_path):
+    from satdump_tpu.products.product import load_product
+    from satdump_tpu.products.punctiform_product import PunctiformProduct
+    p = PunctiformProduct()
+    p.instrument_name = "stdc"
+    p.add_channel("msg_rate", [0.0, 1.0], [[48.0, 2.0, 0.0],
+                                           [48.1, 2.1, 0.0]], [5.0, 7.0])
+    p.save(str(tmp_path))
+    q = load_product(str(tmp_path / "product.json"))
+    assert isinstance(q, PunctiformProduct)
+    i = q.get_channel_index("msg_rate")
+    assert q.get_sample_position(i, 1) == [48.1, 2.1, 0.0]
+    assert q.data[i].data == [5.0, 7.0]
+
+
+def test_detect_header_wav_and_ziq(tmp_path, rng):
+    import wave
+
+    from satdump_tpu.io.detect import apply_header_params, try_parse_header
+    from satdump_tpu.io.ziq import write_ziq
+    wav_p = tmp_path / "x.wav"
+    with wave.open(str(wav_p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes(np.zeros(256, np.int16).tobytes())
+    info = try_parse_header(str(wav_p))
+    assert info.valid and info.samplerate == 48000 and info.fmt == "cs16"
+
+    x = (rng.standard_normal(100) + 1j * rng.standard_normal(100)
+         ).astype(np.complex64)
+    ziq_p = tmp_path / "x.ziq"
+    write_ziq(ziq_p, x, samplerate=250000, bits_per_sample=8)
+    info = try_parse_header(str(ziq_p))
+    assert info.valid and info.fmt == "ziq" and info.samplerate == 250000
+
+    params = apply_header_params({}, str(wav_p))
+    assert params["samplerate"] == 48000
+    assert params["baseband_format"] == "cs16"
+    # extension fallback
+    (tmp_path / "y.cs8").write_bytes(b"\x00" * 16)
+    assert try_parse_header(str(tmp_path / "y.cs8")).fmt == "cs8"
+
+
+def test_text_overlay():
+    from satdump_tpu.image.text import draw_text
+    img = np.zeros((40, 120, 3), np.uint8)
+    out = draw_text(img, "NOAA 19", (4, 4), (0, 255, 0))
+    assert out.sum() > 0
+    assert (out[:, :, 1] > 0).any() and not (out[:, :, 0] > 0).any()
+
+
+def test_gfsk_modulate_demod(rng, tmp_path):
+    """GFSK TX fixture demodulates back through the FSK chain."""
+    from satdump_tpu.io import write_baseband
+    from satdump_tpu.ops.txmod import gfsk_modulate
+    from satdump_tpu.pipeline.modules.demod.fsk import FSKDemodModule
+    bits = rng.integers(0, 2, 4000, dtype=np.uint8)
+    x = gfsk_modulate(bits, sensitivity=1.0)          # 2 sps
+    # upsample x4 to give the demod some sps room
+    x8 = np.repeat(x, 4)
+    bb = tmp_path / "g.cf32"
+    write_baseband(bb, "cf32", x8)
+    mod = FSKDemodModule(str(bb), str(tmp_path / "o"), {
+        "samplerate": 8.0, "symbolrate": 1.0, "basic_shaping": True,
+        "buffer_size": 1 << 13})
+    mod.process()
+    soft = np.fromfile(mod.d_output_file, np.int8)
+    assert len(soft) > 3000
+    s = np.sign(soft.astype(np.float32))
+    tb = 2.0 * bits - 1.0
+    c = np.correlate(s, tb, "full")
+    k = int(np.argmax(np.abs(c)))
+    assert abs(c[k]) / min(len(s), len(bits)) > 0.9
