@@ -207,3 +207,27 @@ def qpsk_soft_interleave(sym: jnp.ndarray, scale: float = 100.0) -> jnp.ndarray:
 def bpsk_soft(sym: jnp.ndarray, scale: float = 50.0) -> jnp.ndarray:
     """BPSK uses only the real branch, x50 (module_psk_demod.cpp:198-202)."""
     return to_soft_int8(jnp.real(sym), scale)
+
+
+class FFTPanState(NamedTuple):
+    avg: jnp.ndarray   # (nbins,) running average magnitude (linear)
+
+
+def fft_pan_init(nbins: int = 512) -> FFTPanState:
+    return FFTPanState(avg=xfer.zeros((nbins,), jnp.float32))
+
+
+def fft_pan(state: FFTPanState, x: jnp.ndarray, rate: float = 0.1
+            ) -> Tuple[FFTPanState, jnp.ndarray]:
+    """Streaming averaged spectrum for displays/status (ref
+    common/dsp/fft/fft_pan.{h,cpp}): segment the block into nbins-point
+    FFTs, average the shifted magnitudes, and fold them into an
+    exponential running average. Returns (state', spectrum_dB (nbins,))."""
+    nbins = state.avg.shape[0]
+    nseg = x.shape[-1] // nbins
+    segs = x[: nseg * nbins].reshape(nseg, nbins)
+    mag = jnp.abs(jnp.fft.fftshift(jnp.fft.fft(segs, axis=-1), axes=-1))
+    m = jnp.mean(mag, axis=0) / nbins
+    avg = state.avg * (1.0 - rate) + m * rate
+    db = 20.0 * jnp.log10(jnp.maximum(avg, 1e-12))
+    return FFTPanState(avg=avg), db

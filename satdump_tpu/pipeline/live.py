@@ -75,6 +75,7 @@ class LivePipeline:
         self._buf = np.zeros(0, np.complex64)
         self._t0 = time.time()
         self._nsamples = 0
+        self._fft_avg = None
 
     def push(self, samples: np.ndarray, last: bool = False) -> None:
         """Feed source samples; runs the chain on every full block."""
@@ -89,6 +90,7 @@ class LivePipeline:
                 blk = np.concatenate(
                     [blk, np.zeros(self.block_size - valid, np.complex64)])
             is_last = last and len(self._buf) == 0
+            self._fft_tap(blk)
             out = self.modules[0].stream_work(blk, valid=valid, last=is_last)
             self._soft_f.write(out.tobytes())
             for mod, f in zip(self.modules[1:], self._dec_f):
@@ -108,6 +110,24 @@ class LivePipeline:
             "modules": {st.module_id: mod.getModuleStats()
                         for st, mod in zip(self.steps, self.modules)},
         }
+        if self._fft_avg is not None:
+            db = 20.0 * np.log10(np.maximum(self._fft_avg, 1e-12))
+            self.stats["fft_db"] = np.round(db, 1).tolist()
+
+    def _fft_tap(self, blk: np.ndarray, nbins: int = 256,
+                 rate: float = 0.2) -> None:
+        """Host-side averaged-spectrum tap for /status (the recorder's
+        FFTPanBlock display path, webserver.cpp's FFT endpoint)."""
+        nseg = min(len(blk) // nbins, 8)
+        if nseg < 1:
+            return
+        segs = blk[: nseg * nbins].reshape(nseg, nbins)
+        m = np.abs(np.fft.fftshift(np.fft.fft(segs, axis=-1),
+                                   axes=-1)).mean(0) / nbins
+        if self._fft_avg is None:
+            self._fft_avg = m
+        else:
+            self._fft_avg = self._fft_avg * (1 - rate) + m * rate
 
     def stop(self) -> List[str]:
         self.push(np.zeros(0, np.complex64), last=True)

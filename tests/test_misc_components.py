@@ -117,3 +117,54 @@ def test_gfsk_modulate_demod(rng, tmp_path):
     c = np.correlate(s, tb, "full")
     k = int(np.argmax(np.abs(c)))
     assert abs(c[k]) / min(len(s), len(bits)) > 0.9
+
+
+def test_ts_demux_and_mpe(rng):
+    from satdump_tpu.utils.mpeg_ts import (TSDemux, mpe_extract_ip,
+                                           parse_ts_headers)
+    # build a 2-packet payload unit on PID 0x155 + noise PIDs
+    payload = rng.integers(0, 256, 300, dtype=np.uint8)
+
+    def ts_pkt(pid, pusi, cont, data):
+        p = np.zeros(188, np.uint8)
+        p[0] = 0x47
+        p[1] = (pusi << 6) | (pid >> 8)
+        p[2] = pid & 0xFF
+        p[3] = 0x10 | (cont & 0xF)
+        p[4: 4 + len(data)] = data
+        return p
+
+    pkts = [ts_pkt(0x155, 1, 0, payload[:184]),
+            ts_pkt(0x300, 0, 0, rng.integers(0, 256, 184, dtype=np.uint8)),
+            ts_pkt(0x155, 0, 1, payload[184:]),
+            ts_pkt(0x155, 1, 2, payload[:184])]   # next unit flushes first
+    ts = np.stack(pkts)
+    hdr = parse_ts_headers(ts)
+    assert list(hdr["pid"]) == [0x155, 0x300, 0x155, 0x155]
+    d = TSDemux(pid=0x155)
+    units = d.work(ts) + d.flush()
+    assert len(units) == 2
+    got = np.frombuffer(units[0], np.uint8)
+    assert np.array_equal(got[:300], payload)
+
+    # MPE section wrapping an IPv4/UDP datagram
+    ip_payload = b"hello-geonetcast"
+    ip_hdr = bytearray(20)
+    ip_hdr[0] = 0x45
+    total = 20 + len(ip_payload)
+    ip_hdr[2:4] = total.to_bytes(2, "big")
+    ip_hdr[9] = 17
+    ip_hdr[12:16] = bytes([10, 0, 0, 1])
+    ip_hdr[16:20] = bytes([239, 1, 2, 3])
+    dgram = bytes(ip_hdr) + ip_payload
+    sec_len = 9 + len(dgram) + 4
+    sec = bytearray(12)
+    sec[0] = 0x3E
+    sec[1] = 0xB0 | (sec_len >> 8)
+    sec[2] = sec_len & 0xFF
+    section = bytes(sec) + dgram + b"\x00" * 4
+    out = mpe_extract_ip(section)
+    assert out is not None
+    mpe, ip, pl = out
+    assert ip.protocol == 17 and ip.target_ip == (239, 1, 2, 3)
+    assert pl == ip_payload
