@@ -42,6 +42,23 @@ def _build_gf_tables(poly: int = PRIM_POLY) -> Tuple[np.ndarray, np.ndarray]:
 
 GF_EXP, GF_LOG = _build_gf_tables()
 
+_TABLE_CACHE = {}
+
+
+def gf_tables(poly: int):
+    """(exp, log, mul) tables for an arbitrary degree-8 primitive poly
+    (CCSDS 0x187 default; DVB uses 0x11D)."""
+    if poly not in _TABLE_CACHE:
+        exp, log = _build_gf_tables(poly)
+        la = log[np.arange(256)][:, None]
+        lb = log[np.arange(256)][None, :]
+        ss = la + lb
+        mul = np.where(ss >= 0, exp[np.clip(ss, 0, 509) % 255], 0)
+        mul[0, :] = 0
+        mul[:, 0] = 0
+        _TABLE_CACHE[poly] = (exp, log, mul.astype(np.uint8))
+    return _TABLE_CACHE[poly]
+
 
 def _build_mul_table() -> np.ndarray:
     """Full 256x256 GF(256) product table (64 KB): one fancy-index gather
@@ -100,7 +117,7 @@ class ReedSolomon:
     """CCSDS RS codec. type 223 -> RS(255,223) t=16; 239 -> RS(255,239) t=8."""
 
     def __init__(self, k: int = 223, fcr: int | None = None, prim: int = 11,
-                 fill: int = 0):
+                 fill: int = 0, poly: int = PRIM_POLY):
         self.n = 255
         self.k = k
         if fcr is None:
@@ -109,17 +126,31 @@ class ReedSolomon:
         self.fcr = fcr
         self.prim = prim
         self.fill = fill  # virtual fill (shortened code), ref fill_bytes
+        self._exp, self._log, self._mul = gf_tables(poly)
+
+        def _imul(a, b):
+            return self._mul[a, b]
+        self.gf_mul = _imul
+
+        exp_, log_ = self._exp, self._log
+
+        def _iinv(a):
+            a = np.asarray(a, np.int32)
+            return np.where(a == 0, 0,
+                            exp_[(255 - log_[np.maximum(a, 1)] % 255) % 255]
+                            ).astype(np.int32)
+        self.gf_inv = _iinv
         # iprim: multiplicative inverse of prim mod 255, for locator conversion
         self.iprim = pow(prim, -1, 255)
         # generator polynomial g(x) = prod_j (x - alpha^(prim*(fcr+j)))
         g = np.zeros(self.nroots + 1, dtype=np.int32)
         g[0] = 1
         for j in range(self.nroots):
-            root = GF_EXP[(self.prim * (self.fcr + j)) % 255]
+            root = self._exp[(self.prim * (self.fcr + j)) % 255]
             # multiply g by (x - root): new_g[i] = g[i-1] + root*g[i]
             ng = np.zeros_like(g)
             ng[1:] = g[:-1]
-            ng ^= gf_mul(g, root)
+            ng ^= self.gf_mul(g, root)
             g = ng
         self.genpoly = g  # ascending order: g[i] = coeff of x^i, g[nroots]=1
 
@@ -136,7 +167,7 @@ class ReedSolomon:
             fb = msg[:, i].astype(np.int32) ^ par[:, 0]
             par = np.roll(par, -1, axis=1)
             par[:, -1] = 0
-            par ^= gf_mul(fb[:, None], g[None, :])
+            par ^= self.gf_mul(fb[:, None], g[None, :])
         out = np.concatenate([msg, par.astype(np.uint8)], axis=1)
         return out
 
@@ -150,8 +181,8 @@ class ReedSolomon:
             j = np.arange(self.nroots)
             expo = np.mod(deg[:, None].astype(np.int64)
                           * self.prim * (self.fcr + j)[None, :], 255)
-            P = GF_EXP[expo].astype(np.uint8)          # (255, nroots)
-            self._syn_tab = GF_MUL[np.arange(256)[None, :, None],
+            P = self._exp[expo].astype(np.uint8)       # (255, nroots)
+            self._syn_tab = self._mul[np.arange(256)[None, :, None],
                                    P[:, None, :]]      # (255, 256, nroots)
         return self._syn_tab
 
@@ -173,10 +204,10 @@ class ReedSolomon:
             j = np.arange(self.nroots)
             expo = np.mod(deg[:, None].astype(np.int64)
                           * self.prim * (self.fcr + j)[None, :], 255)
-            P = GF_EXP[expo].astype(np.uint8)              # (255, nroots)
+            P = self._exp[expo].astype(np.uint8)           # (255, nroots)
             basis = (1 << (7 - np.arange(8))).astype(np.uint8)
             # prod[i, k, j] = mul(2^(7-k), P[i, j])
-            prod = GF_MUL[basis[None, :, None], P[:, None, :]]
+            prod = self._mul[basis[None, :, None], P[:, None, :]]
             bits = np.unpackbits(prod[..., None], axis=-1, count=8)
             M = bits.reshape(255 * 8, self.nroots * 8)
             self._syn_M = M.astype(np.float32)
@@ -239,15 +270,15 @@ class ReedSolomon:
         for r in range(nroots):
             Sidx = r - i
             Svals = np.where((Sidx >= 0)[None, :], S[:, np.clip(Sidx, 0, nroots - 1)], 0)
-            d = np.bitwise_xor.reduce(gf_mul(Lambda, Svals), axis=1)
+            d = np.bitwise_xor.reduce(self.gf_mul(Lambda, Svals), axis=1)
             d_zero = d == 0
             grow = (~d_zero) & (2 * L <= r)
 
-            coef = gf_mul(d, gf_inv(b))
+            coef = self.gf_mul(d, self.gf_inv(b))
             idx = i[None, :] - m[:, None]  # x^m shift of B, per-lane m
             shiftedB = np.where(idx >= 0,
                                 np.take_along_axis(Bpoly, np.clip(idx, 0, nroots), axis=1), 0)
-            Lnew = Lambda ^ gf_mul(coef[:, None], shiftedB)
+            Lnew = Lambda ^ self.gf_mul(coef[:, None], shiftedB)
 
             Bpoly = np.where(grow[:, None], Lambda, Bpoly)
             b = np.where(grow, d, b)
@@ -260,10 +291,10 @@ class ReedSolomon:
         lpow = np.arange(255)
         i = np.arange(nroots + 1)
         expo = np.mod(-self.prim * np.outer(lpow, i).astype(np.int64), 255)
-        Z = GF_EXP[expo]  # (255, nroots+1): alpha^(-prim*l*i)
+        Z = self._exp[expo]  # (255, nroots+1): alpha^(-prim*l*i)
         vals = np.zeros((B, 255), dtype=np.int32)
         for ii in range(nroots + 1):
-            vals ^= gf_mul(Lambda[:, ii][:, None], Z[None, :, ii])
+            vals ^= self.gf_mul(Lambda[:, ii][:, None], Z[None, :, ii])
         is_root = vals == 0  # (B, 255) — l indexes locator X = alpha^(prim*l)
         nerr = is_root.sum(axis=1)
 
@@ -274,22 +305,22 @@ class ReedSolomon:
             # Omega_ii = sum_{j<=ii} S_j * Lambda_{ii-j}
             j = np.arange(ii + 1)
             Om[:, ii] = np.bitwise_xor.reduce(
-                gf_mul(S[:, j], Lambda[:, ii - j]), axis=1)
+                self.gf_mul(S[:, j], Lambda[:, ii - j]), axis=1)
         # evaluate Omega and Lambda' at X^{-1} = alpha^{-prim*l}
         expo_om = np.mod(-self.prim * np.outer(lpow, np.arange(nroots)).astype(np.int64), 255)
-        Zom = GF_EXP[expo_om]
+        Zom = self._exp[expo_om]
         om_val = np.zeros((B, 255), dtype=np.int32)
         for ii in range(nroots):
-            om_val ^= gf_mul(Om[:, ii][:, None], Zom[None, :, ii])
+            om_val ^= self.gf_mul(Om[:, ii][:, None], Zom[None, :, ii])
         # Lambda'(x): derivative = sum over odd i of Lambda_i x^(i-1)
         lam_d = np.zeros((B, 255), dtype=np.int32)
         for ii in range(1, nroots + 1, 2):
             expo_d = np.mod(-self.prim * (ii - 1) * lpow.astype(np.int64), 255)
-            lam_d ^= gf_mul(Lambda[:, ii][:, None], GF_EXP[expo_d][None, :])
+            lam_d ^= self.gf_mul(Lambda[:, ii][:, None], self._exp[expo_d][None, :])
         # error value e_l = X^{1-fcr} * Omega(X^{-1}) / Lambda'(X^{-1})
         # with X = alpha^(prim*l): X^(1-fcr) = alpha^(prim*l*(1-fcr))
-        xpow = GF_EXP[np.mod(self.prim * lpow.astype(np.int64) * (1 - self.fcr), 255)]
-        mag = gf_mul(gf_mul(xpow[None, :], om_val), gf_inv(lam_d))
+        xpow = self._exp[np.mod(self.prim * lpow.astype(np.int64) * (1 - self.fcr), 255)]
+        mag = self.gf_mul(self.gf_mul(xpow[None, :], om_val), self.gf_inv(lam_d))
         mag = np.where(is_root, mag, 0)
 
         # apply corrections: an error of magnitude m at polynomial degree D
