@@ -6,3 +6,4 @@ Importing this package registers all mission modules.
 import satdump_tpu.models.noaa_apt  # noqa: F401
 import satdump_tpu.models.metop  # noqa: F401
 import satdump_tpu.models.meteor  # noqa: F401
+import satdump_tpu.models.noaa_hrpt  # noqa: F401
