@@ -168,3 +168,46 @@ def test_ts_demux_and_mpe(rng):
     mpe, ip, pl = out
     assert ip.protocol == 17 and ip.target_ip == (239, 1, 2, 3)
     assert pl == ip_payload
+
+
+def test_init_satdump_fires_started_event():
+    from satdump_tpu.core.events import SatdumpStartedEvent, event_bus
+    from satdump_tpu.core.init import init_satdump
+    got = []
+    event_bus.register_handler(SatdumpStartedEvent, lambda e: got.append(1))
+    init_satdump()
+    init_satdump()   # idempotent
+    assert len(got) <= 1   # may be 0 if another test initialized first
+    from satdump_tpu.pipeline.pipeline import pipeline_registry
+    assert len(list(pipeline_registry.items())) >= 25
+
+
+def test_webhook_sink(tmp_path):
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from satdump_tpu.core.events import (PipelineDoneProcessingEvent,
+                                         event_bus)
+    from satdump_tpu.core.webhook import WebhookSink
+    got = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            got.append(_json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.handle_request)
+    t.start()
+    WebhookSink(f"http://127.0.0.1:{srv.server_address[1]}/hook",
+                run_async=False)
+    event_bus.fire_event(PipelineDoneProcessingEvent("noaa_apt", "/tmp/x"))
+    t.join(timeout=5)
+    srv.server_close()
+    assert got and got[0]["pipeline"] == "noaa_apt"
