@@ -144,6 +144,37 @@ def cmd_bench(args, extra: List[str]) -> int:
     return 0
 
 
+def cmd_record(args, extra: List[str]) -> int:
+    """Record a remote-IQ stream to a baseband file (the recorder app's
+    headless core, src-interface/recorder + legacy record)."""
+    import numpy as np
+
+    from satdump_tpu.io.net import RemoteIQClient
+    host, port = args.source[6:].rsplit(":", 1)
+    client = RemoteIQClient(host, int(port))
+    ext = args.output.rsplit(".", 1)[-1].lower()
+    total = 0
+    chunks = []
+    for blk in client.blocks():
+        chunks.append(blk)
+        total += len(blk)
+        if args.max_samples and total >= args.max_samples:
+            break
+    client.close()
+    samples = np.concatenate(chunks) if chunks else np.zeros(0, np.complex64)
+    if args.max_samples:
+        samples = samples[: args.max_samples]
+    if ext == "ziq":
+        from satdump_tpu.io.ziq import write_ziq
+        write_ziq(args.output, samples, samplerate=args.samplerate)
+    else:
+        from satdump_tpu.io import write_baseband
+        write_baseband(args.output, ext, samples,
+                       samplerate=args.samplerate)
+    print(json.dumps({"samples": int(len(samples)), "file": args.output}))
+    return 0
+
+
 def cmd_autotrack(args, extra: List[str]) -> int:
     """Headless automated ground station (ref src-cli/legacy/autotrack):
     config JSON {qth:{lat,lon,alt}, tle_file, satellites:[{norad,
@@ -315,6 +346,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n", type=int, default=1 << 20,
                    help="samples per block")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("record",
+                       help="record a streaming source to a baseband file")
+    p.add_argument("source", help="tcp://host:port (remote-IQ protocol)")
+    p.add_argument("output", help="output file (.cf32/.cs16/.cs8/.ziq)")
+    p.add_argument("--samplerate", type=float, default=0)
+    p.add_argument("--max-samples", type=int, default=0)
+    p.set_defaults(fn=cmd_record)
 
     p = sub.add_parser("autotrack",
                        help="headless automated ground station")

@@ -231,3 +231,21 @@ def fft_pan(state: FFTPanState, x: jnp.ndarray, rate: float = 0.1
     avg = state.avg * (1.0 - rate) + m * rate
     db = 20.0 * jnp.log10(jnp.maximum(avg, 1e-12))
     return FFTPanState(avg=avg), db
+
+
+def doppler_correct(state: FreqShiftState, x: jnp.ndarray,
+                    doppler_hz: jnp.ndarray, samplerate: float
+                    ) -> Tuple[FreqShiftState, jnp.ndarray]:
+    """Doppler pre-correction stage (ref common/dsp/utils/doppler_correct.h):
+    mix the block by the negated predicted Doppler profile. doppler_hz may
+    be a scalar (constant over the block) or a per-sample array from the
+    tracker (tracking/tracker.py doppler_shift); the NCO phase carries
+    across blocks for continuity."""
+    d = jnp.asarray(doppler_hz, jnp.float32)
+    if d.ndim == 0:
+        d = jnp.full((x.shape[-1],), d)
+    phase_inc = -2.0 * jnp.pi * d / samplerate
+    phase = state.phase + jnp.cumsum(phase_inc)
+    y = x * jnp.exp(1j * phase).astype(x.dtype)
+    new_phase = jnp.mod(phase[-1], 2 * jnp.pi)
+    return FreqShiftState(phase=new_phase), y

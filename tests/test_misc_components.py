@@ -211,3 +211,49 @@ def test_webhook_sink(tmp_path):
     t.join(timeout=5)
     srv.server_close()
     assert got and got[0]["pipeline"] == "noaa_apt"
+
+
+def test_qoi_pnm_io(tmp_path, rng):
+    from satdump_tpu.image.io import load_img, save_img
+    rgb = rng.integers(0, 255, (24, 36, 3), dtype=np.uint8)
+    for ext in ("qoi", "ppm"):
+        save_img(rgb, tmp_path / f"x.{ext}")
+        assert np.array_equal(load_img(tmp_path / f"x.{ext}"), rgb)
+    g16 = rng.integers(0, 65535, (20, 30), dtype=np.uint16)
+    save_img(g16, tmp_path / "g.pgm")
+    assert np.array_equal(load_img(tmp_path / "g.pgm"), g16)
+
+
+def test_soft2hard_roundtrip(tmp_path, rng):
+    from satdump_tpu.pipeline.modules.convert import (Hard2SoftModule,
+                                                      Soft2HardModule,
+                                                      read_soft_symbols)
+    soft = rng.integers(-100, 100, 8000).astype(np.int8)
+    p = tmp_path / "x.soft"
+    soft.tofile(p)
+    m = Soft2HardModule(str(p), str(tmp_path / "o"), {})
+    m.process()
+    hard = np.fromfile(m.d_output_file, np.uint8)
+    assert np.array_equal(np.unpackbits(hard), (soft > 0).astype(np.uint8))
+    m2 = Hard2SoftModule(m.d_output_file, str(tmp_path / "o2"), {})
+    m2.process()
+    s2 = np.fromfile(m2.d_output_file, np.int8)
+    assert np.array_equal(s2 > 0, soft > 0)
+    assert np.array_equal(read_soft_symbols(str(p)), soft)
+
+
+def test_doppler_correct_stage():
+    import jax.numpy as jnp
+
+    from satdump_tpu.ops import stages
+    fs = 10000.0
+    n = 4096
+    dop = 137.0
+    t = np.arange(n) / fs
+    x = np.exp(2j * np.pi * dop * t).astype(np.complex64)
+    st = stages.freq_shift_init()
+    st, y = stages.doppler_correct(st, jnp.asarray(x),
+                                   jnp.full(n, dop, np.float32), fs)
+    y = np.asarray(y)
+    # residual rotation ~ 0 after correction
+    assert np.abs(np.angle(np.mean(y[10:] * np.conj(y[9:-1])))) < 1e-3
