@@ -91,6 +91,42 @@ class NoaaAVHRR3Calibrator(ImageCalibrator):
 calibrator_registry.register("noaa_avhrr3", NoaaAVHRR3Calibrator)
 
 
+class MHSReader:
+    """MHS scanline reader (ref plugins/noaa_metop_support/instruments/mhs/
+    mhs_reader.cpp work_metop/work): MetOp MHS packets (VCID 12, APID 34)
+    carry one SCI packet at payload offset 14; the 90-FOV image zone sits at
+    byte 49, 12 bytes per FOV, channels 1..5 as big-endian u16 at byte
+    offsets 2..10."""
+
+    WIDTH = 90
+    OFFSET = 49
+
+    def __init__(self):
+        self._lines: List[np.ndarray] = []
+        self.timestamps: List[float] = []
+
+    @property
+    def lines(self) -> int:
+        return len(self._lines)
+
+    def work_metop(self, pkt: CCSDSPacket) -> None:
+        if len(pkt.payload) < 1302:
+            return
+        self.timestamps.append(parse_ccsds_time(pkt, 10957 * 86400))
+        sci = np.frombuffer(bytes(pkt.payload[14:14 + 1286]), np.uint8)
+        zone = sci[self.OFFSET: self.OFFSET + self.WIDTH * 12]
+        fovs = zone.reshape(self.WIDTH, 12)
+        line = ((fovs[:, 2:12:2].astype(np.uint16) << 8)
+                | fovs[:, 3:12:2]).astype(np.uint16)       # (90, 5)
+        self._lines.append(line)
+
+    def channels(self) -> List[np.ndarray]:
+        if not self._lines:
+            return [np.zeros((0, self.WIDTH), np.uint16) for _ in range(5)]
+        img = np.stack(self._lines)                         # (n, 90, 5)
+        return [img[:, :, c] for c in range(5)]
+
+
 class AVHRRReader:
     """AVHRR/3 HRPT line reader (ref avhrr_reader.cpp work_metop/line2image):
     MetOp AVHRR packets (APID 103 = ch3a, 104 = ch3b) carry one 2048-pixel
@@ -148,7 +184,9 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
 
     def process(self):
         avhrr = AVHRRReader()
+        mhs = MHSReader()
         demux_vcid9 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
+        demux_vcid12 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         scids: List[int] = []
 
         cadus = np.fromfile(self.d_input_file, np.uint8)
@@ -161,6 +199,10 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
                 for pkt in demux_vcid9.work(bytes(cadu)):
                     if pkt.header.apid in (103, 104):
                         avhrr.work(pkt)
+            elif vcdu.vcid == 12:  # MHS
+                for pkt in demux_vcid12.work(bytes(cadu)):
+                    if pkt.header.apid == 34:
+                        mhs.work_metop(pkt)
 
         scid = max(set(scids), key=scids.count) if scids else -1
         sat_name, norad = METOP_SCIDS.get(scid, ("Unknown MetOp", 0))
@@ -197,5 +239,22 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             p.save(str(out_dir / "AVHRR"))
             ds.products_list.append("AVHRR")
 
+        if mhs.lines:
+            pm = ImageProduct()
+            pm.instrument_name = "mhs"
+            # wavenumbers cm^-1 for 89/157/183x2/190 GHz (freq/c)
+            wn = [2.97, 5.24, 6.11, 6.11, 6.35]
+            for c, ch in enumerate(mhs.channels()):
+                pm.add_channel(ch, str(c + 1), bit_depth=16,
+                               wavenumber=wn[c])
+            pm.set_proj_cfg_tle_timestamps(
+                {"type": "normal_line", "scan_angle": 100.0,
+                 "image_width": 90, "gcp_spacing_x": 10,
+                 "gcp_spacing_y": 10, "norad": norad},
+                {"name": sat_name, "norad": norad}, mhs.timestamps)
+            pm.save(str(out_dir / "MHS"))
+            ds.products_list.append("MHS")
+
         self.d_output_file = ds.save(str(out_dir))
-        self.stats = {"avhrr_lines": avhrr.lines, "satellite": sat_name}
+        self.stats = {"avhrr_lines": avhrr.lines, "mhs_lines": mhs.lines,
+                      "satellite": sat_name}

@@ -168,3 +168,54 @@ def test_avhrr_calibrator_per_line():
         Ns, Nbb, Spc, Blb = -5.0 + l, 90.0 + l, 980.0, 400.0
         exp = Ns + (Nbb - Ns) * (Spc - 700.0) / (Spc - Blb)
         np.testing.assert_allclose(out[l], exp, rtol=1e-12)
+
+
+def _mhs_packet(line90x5: np.ndarray, seq: int, ms: int = 0) -> CCSDSPacket:
+    """MetOp MHS packet: 14-byte CCSDS secondary header (CDS time first),
+    then the 1286-byte SCI packet with the image zone at byte 49."""
+    sci = np.zeros(1286, np.uint8)
+    fovs = np.zeros((90, 12), np.uint8)
+    fovs[:, 2:12:2] = (line90x5 >> 8).astype(np.uint8)
+    fovs[:, 3:12:2] = (line90x5 & 0xFF).astype(np.uint8)
+    sci[49: 49 + 90 * 12] = fovs.reshape(-1)
+    hdr = bytes([20000 >> 8, 20000 & 0xFF,
+                 (ms >> 24) & 0xFF, (ms >> 16) & 0xFF, (ms >> 8) & 0xFF,
+                 ms & 0xFF, 0, 0, 0, 0, 0, 0, 0, 0])
+    payload = bytearray(hdr + sci.tobytes() + b"\x00\x00")  # +CRC
+    h = CCSDSHeader(apid=34, packet_sequence_count=seq,
+                    packet_length=len(payload) - 1)
+    return CCSDSPacket(header=h, payload=payload)
+
+
+def test_mhs_reader_and_module(tmp_path, rng):
+    from satdump_tpu.models.metop import MHSReader
+    lines = rng.integers(0, 65535, (4, 90, 5), dtype=np.uint16)
+    r = MHSReader()
+    for i in range(4):
+        r.work_metop(_mhs_packet(lines[i], i, ms=1000 * i))
+    chans = r.channels()
+    for c in range(5):
+        assert np.array_equal(chans[c], lines[:, :, c])
+
+    # through the module: VCID-12 CADUs
+    pkts = [_mhs_packet(lines[i], i, ms=166 * i) for i in range(4)]
+    zones = mux_packets(pkts, mpdu_data_size=882)
+    cadus = np.zeros((len(zones), 1024), np.uint8)
+    scid, vcid = 11, 12
+    for i, (fhp, data) in enumerate(zones):
+        cadus[i, 0:4] = [0x1A, 0xCF, 0xFC, 0x1D]
+        cadus[i, 4] = (1 << 6) | ((scid >> 2) & 0b111111)
+        cadus[i, 5] = ((scid & 0b11) << 6) | (vcid & 0b111111)
+        cadus[i, 6:9] = [(i >> 16) & 0xFF, (i >> 8) & 0xFF, i & 0xFF]
+        cadus[i, 12] = (fhp >> 8) & 0b111
+        cadus[i, 13] = fhp & 0xFF
+        cadus[i, 14:896] = np.frombuffer(data, np.uint8)
+    cadu_path = tmp_path / "m.cadu"
+    cadus.tofile(cadu_path)
+    mod = MetOpInstrumentsDecoderModule(str(cadu_path), str(tmp_path / "out"),
+                                        {})
+    mod.process()
+    assert mod.stats["mhs_lines"] == 4
+    from satdump_tpu.products.product import load_product
+    p = load_product(str(tmp_path / "MHS"))
+    assert np.array_equal(p.get_channel("3").image, lines[:, :, 2])
