@@ -257,3 +257,40 @@ def test_doppler_correct_stage():
     y = np.asarray(y)
     # residual rotation ~ 0 after correction
     assert np.abs(np.angle(np.mean(y[10:] * np.conj(y[9:-1])))) < 1e-3
+
+
+def test_sample_source_registry(tmp_path, rng):
+    from satdump_tpu.io import write_baseband
+    from satdump_tpu.io.sources import get_source, list_sources
+    x = (rng.standard_normal(5000) + 1j * rng.standard_normal(5000)
+         ).astype(np.complex64)
+    p = tmp_path / "x.cf32"
+    write_baseband(p, "cf32", x)
+    src = get_source(str(p))
+    assert src.source_type == "file"
+    got = np.concatenate(list(src.blocks()))
+    np.testing.assert_allclose(got, x, atol=1e-6)
+    assert "remote" in list_sources()
+    r = get_source("tcp://127.0.0.1:12345")
+    assert r.source_type == "remote" and r.port == 12345
+
+
+def test_vfo_channelizer(rng):
+    from satdump_tpu.ops.vfo import VFOChannelizer
+    fs = 1_000_000.0
+    n = 1 << 16
+    t = np.arange(2 * n) / fs
+    # two tones at +200k and -150k
+    x = (np.exp(2j * np.pi * 200e3 * t)
+         + np.exp(2j * np.pi * -150e3 * t)).astype(np.complex64)
+    ch = VFOChannelizer(fs, block_size=n)
+    r1 = ch.add_vfo("a", 200e3, 125e3)
+    r2 = ch.add_vfo("b", -150e3, 125e3)
+    outs = [ch.work(x[:n]), ch.work(x[n:])]
+    a = np.concatenate([o["a"] for o in outs])[200:]
+    b = np.concatenate([o["b"] for o in outs])[200:]
+    # each VFO sees its own tone at DC (slow rotation), the other rejected
+    rot_a = np.abs(np.mean(a / np.maximum(np.abs(a), 1e-9)))
+    rot_b = np.abs(np.mean(b / np.maximum(np.abs(b), 1e-9)))
+    assert rot_a > 0.95 and rot_b > 0.95
+    assert np.abs(a).mean() > 0.5 and np.abs(b).mean() > 0.5
