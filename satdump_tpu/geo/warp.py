@@ -144,3 +144,76 @@ def warp_to_equirect(image: np.ndarray, gcps: np.ndarray,
               "lat_min": float(lat0), "lat_max": float(lat1),
               "width": out_width, "height": out_height}
     return warped, georef
+
+
+def smart_warp_to_equirect(image: np.ndarray, gcps: np.ndarray,
+                           out_width: int = 8192, tile: int = 1024,
+                           margin: float = 0.05, reg: float = 1e-6,
+                           gcps_per_tile: int = 120
+                           ) -> Tuple[np.ndarray, dict]:
+    """Tiled TPS warp for huge outputs (ref projection/warp/smart_warp.cpp
+    performSmartWarp): the output raster is processed in `tile`-sized
+    blocks; each block solves a LOCAL spline from the GCPs nearest to the
+    block (distance-ranked), bounding both the dense solve (O(N^3) in GCPs)
+    and the per-block evaluation memory — the pattern that lets multi-GB
+    composites warp without materializing a global evaluation."""
+    img = np.asarray(image)
+    gx, gy, lon, lat = gcps[:, 0], gcps[:, 1], gcps[:, 2], gcps[:, 3]
+    if lon.max() - lon.min() > 180.0:
+        lon = np.mod(lon + 360.0, 360.0)
+    lon0, lon1 = lon.min(), lon.max()
+    lat0, lat1 = lat.min(), lat.max()
+    dlon = (lon1 - lon0) * margin
+    dlat = (lat1 - lat0) * margin
+    lon0, lon1 = lon0 - dlon, lon1 + dlon
+    lat0, lat1 = lat0 - dlat, lat1 + dlat
+    out_height = max(int(round(out_width * (lat1 - lat0)
+                               / max(lon1 - lon0, 1e-9))), 8)
+
+    shape = (out_height, out_width) + img.shape[2:]
+    warped = np.zeros(shape, img.dtype)
+    glon = np.linspace(lon0, lon1, out_width)
+    glat = np.linspace(lat1, lat0, out_height)
+    H, W = img.shape[:2]
+    pts = np.stack([lon, lat], -1)
+
+    for ty in range(0, out_height, tile):
+        for tx in range(0, out_width, tile):
+            tl_lon = glon[tx: tx + tile]
+            tl_lat = glat[ty: ty + tile]
+            c = np.array([tl_lon.mean(), tl_lat.mean()])
+            d = np.hypot(pts[:, 0] - c[0], pts[:, 1] - c[1])
+            sel = np.argsort(d)[: gcps_per_tile]
+            # skip tiles with no nearby geometry (beyond ~2 tile spans)
+            span = max(float(np.ptp(tl_lon)), float(np.ptp(tl_lat)), 1e-9)
+            if d[sel].min() > 4 * span:
+                continue
+            tps = ThinPlateSpline(pts[sel],
+                                  np.stack([gx[sel], gy[sel]], -1), reg=reg)
+            mg = np.stack(np.meshgrid(tl_lon, tl_lat), axis=-1)
+            src = tps(mg)
+            sx, sy = src[..., 0], src[..., 1]
+            inside = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
+            x0 = np.clip(np.floor(sx).astype(int), 0, W - 2)
+            y0 = np.clip(np.floor(sy).astype(int), 0, H - 2)
+            fx = np.clip(sx - x0, 0, 1)
+            fy = np.clip(sy - y0, 0, 1)
+            if img.ndim == 3:
+                fx = fx[..., None]
+                fy = fy[..., None]
+            p = (img[y0, x0].astype(np.float64) * (1 - fx) * (1 - fy)
+                 + img[y0, x0 + 1].astype(np.float64) * fx * (1 - fy)
+                 + img[y0 + 1, x0].astype(np.float64) * (1 - fx) * fy
+                 + img[y0 + 1, x0 + 1].astype(np.float64) * fx * fy)
+            if img.ndim == 3:
+                p[~inside] = 0
+            else:
+                p = np.where(inside, p, 0)
+            warped[ty: ty + len(tl_lat), tx: tx + len(tl_lon)] = \
+                p.astype(img.dtype)
+
+    georef = {"projection": "equirectangular",
+              "lon_min": float(lon0), "lon_max": float(lon1),
+              "lat_min": float(lat0), "lat_max": float(lat1),
+              "width": out_width, "height": out_height}
+    return warped, georef

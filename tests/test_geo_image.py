@@ -118,3 +118,25 @@ def test_geotiff_roundtrip(tmp_path, rng):
     # pixels readable by a third-party decoder (PIL)
     from PIL import Image
     assert np.array_equal(np.array(Image.open(p)), img)
+
+
+def test_smart_warp_matches_simple_warp(rng):
+    """Tiled smart warp must agree with the global warp away from tile
+    boundaries (ref smart_warp.cpp vs warp.cpp single-pass)."""
+    from satdump_tpu.geo.warp import smart_warp_to_equirect, warp_to_equirect
+    h, w = 64, 96
+    img = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    # GCPs from a smooth affine-ish mapping img(x,y) -> lon/lat
+    xs, ys = np.meshgrid(np.linspace(0, w - 1, 8), np.linspace(0, h - 1, 8))
+    lon = 10.0 + xs * 0.01 + ys * 0.002
+    lat = 45.0 - ys * 0.01 + xs * 0.001
+    gcps = np.stack([xs.ravel(), ys.ravel(), lon.ravel(), lat.ravel()], -1)
+    full, georef1 = warp_to_equirect(img, gcps, out_width=256)
+    tiled, georef2 = smart_warp_to_equirect(img, gcps, out_width=256,
+                                            tile=64, gcps_per_tile=40)
+    assert georef1 == georef2
+    assert tiled.shape == full.shape
+    nz = (full > 0) & (tiled > 0)
+    assert nz.mean() > 0.5
+    diff = np.abs(full.astype(int) - tiled.astype(int))[nz]
+    assert float(np.mean(diff)) < 2.0

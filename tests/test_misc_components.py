@@ -294,3 +294,63 @@ def test_vfo_channelizer(rng):
     rot_b = np.abs(np.mean(b / np.maximum(np.abs(b), 1e-9)))
     assert rot_a > 0.95 and rot_b > 0.95
     assert np.abs(a).mean() > 0.5 and np.abs(b).mean() > 0.5
+
+
+def test_mqtt_publish_subscribe():
+    """Round-trip through an in-process mini broker (utils/mqtt_client.h
+    stats-sink role: CONNECT/SUBSCRIBE/PUBLISH at QoS 0)."""
+    import socket
+    import struct
+    import threading
+
+    from satdump_tpu.utils.mqtt import MQTTClient, _decode_len
+
+    srv = socket.socket()
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+    subscribers = []
+
+    def broker():
+        conns = []
+        for _ in range(2):
+            c, _a = srv.accept()
+            conns.append(c)
+            h = c.recv(1)
+            n = _decode_len(c)
+            c.recv(n)                       # CONNECT body
+            c.sendall(bytes([0x20, 2, 0, 0]))  # CONNACK
+        # serve a few packets from each
+        for _ in range(4):
+            for c in conns:
+                c.settimeout(0.2)
+                try:
+                    h = c.recv(1)
+                except socket.timeout:
+                    continue
+                if not h:
+                    continue
+                n = _decode_len(c)
+                body = c.recv(n) if n else b""
+                typ = h[0] & 0xF0
+                if typ == 0x80:             # SUBSCRIBE
+                    pid = body[:2]
+                    c.sendall(bytes([0x90, 3]) + pid + bytes([0]))
+                    subscribers.append(c)
+                elif typ == 0x30:           # PUBLISH -> relay
+                    for s in subscribers:
+                        s.sendall(h + bytes([n]) + body)
+
+    t = threading.Thread(target=broker, daemon=True)
+    t.start()
+    sub = MQTTClient("127.0.0.1", port, client_id="sub")
+    pub = MQTTClient("127.0.0.1", port, client_id="pub")
+    sub.subscribe("satdump/stats")
+    pub.publish("satdump/stats", b'{"snr": 12.5}')
+    topic, payload = sub.recv_publish()
+    assert topic == "satdump/stats"
+    assert payload == b'{"snr": 12.5}'
+    pub.disconnect()
+    sub.disconnect()
+    srv.close()
