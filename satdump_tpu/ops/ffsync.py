@@ -289,7 +289,7 @@ def ff_resample_at(ext: jnp.ndarray, positions: jnp.ndarray, bank: jnp.ndarray,
     return jnp.where(valid, y, 0).astype(ext.dtype), valid
 
 
-def _strip_geometry(sps: float, ntaps: int, skew_max: float = 0.004
+def _strip_geometry(sps: float, ntaps: int, skew_max: float = 0.003
                     ) -> Tuple[int, int] | None:
     """(segment length G, strip width D) for the strided-strip resampler,
     or None when sps is too far from an integer for the strip to pay off."""

@@ -392,6 +392,19 @@ class XRITDemux:
 
         return files
 
+    def flush(self) -> List[XRITFile]:
+        """EOF: finalize any in-progress file whose last packet (sequence
+        flag 2) never arrived — the stream-tail case; downstream assemblers
+        fill missing data (the reference saves WIP files at process end)."""
+        files: List[XRITFile] = []
+        for per_vcid in self.wip.values():
+            for f in per_vcid.values():
+                if f.file_in_progress and f.header_parsed:
+                    self._finalize(f, files)
+                    f.file_in_progress = False
+                    f.lrit_data = bytearray()
+        return files
+
     def _data(self, f: XRITFile, pkt: CCSDSPacket, bad_crc: bool = False):
         if self.on_process_data(f, pkt, bad_crc):
             f.lrit_data += bytes(pkt.payload)[:-2]

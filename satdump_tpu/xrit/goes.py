@@ -271,6 +271,9 @@ class GOESLRITDataDecoderModule(ProcessingModule):
             for f in demux.work(cadus[i: i + 1024]):
                 self._nfiles += 1
                 self._route_file(f, directory)
+        for f in demux.flush():
+            self._nfiles += 1
+            self._route_file(f, directory)
         for key in list(self._assemblers):
             self._flush_image(key, directory)
         if self._dataset.products_list:
