@@ -6,3 +6,4 @@ import satdump_tpu.pipeline.modules.dvbs2  # noqa: F401
 import satdump_tpu.pipeline.modules.network  # noqa: F401
 import satdump_tpu.xrit.goes  # noqa: F401
 import satdump_tpu.pipeline.modules.convert  # noqa: F401
+import satdump_tpu.pipeline.modules.inmarsat  # noqa: F401
