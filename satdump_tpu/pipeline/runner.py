@@ -28,6 +28,11 @@ def run_pipeline(pipeline: Pipeline, input_file: str, output_dir: str,
     output file produced. Mirrors Pipeline::run (pipeline_run.cpp)."""
     register_all_modules()
     user_params = dict(user_params or {})
+    if start_level == "baseband":
+        # fill samplerate/baseband_format from the input's header or
+        # extension when not given (ref try_get_params_from_input_file)
+        from satdump_tpu.io.detect import apply_header_params
+        apply_header_params(user_params, input_file)
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
