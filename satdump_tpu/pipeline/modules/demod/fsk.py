@@ -23,6 +23,8 @@ class FSKDemodModule(BaseDemodModule):
     id = "fsk_demod"
 
     MAX_SPS = 8.0
+    OUT_SCALE = 50.0
+    USE_AGC2 = True
 
     def __init__(self, input_file, output_file_hint, parameters):
         super().__init__(input_file, output_file_hint, parameters)
@@ -78,7 +80,8 @@ class FSKDemodModule(BaseDemodModule):
             qd_st, f = stages.quadrature_demod(qd_st, x, 1.0)
             fc = f.astype(jnp.complex64)
             dc_st, fc = stages.dc_block(dc_st, fc, alpha=1e-3)
-            agc2_st, fc = stages.agc_scan(agc2_st, fc, rate=0.1)
+            if self.USE_AGC2:
+                agc2_st, fc = stages.agc_scan(agc2_st, fc, rate=0.1)
             fir_st, fc = fir.fir_apply(fir_st, fc, taps)
             mm_st, syms, valid = clock_recovery.mm_clock_recovery(
                 mm_st, fc, omega_mid=sps, gain_omega=gain_omega,
@@ -113,7 +116,7 @@ class FSKDemodModule(BaseDemodModule):
         if last and valid is not None and valid < self.block_size:
             keep = int(len(s) * valid / self.block_size) + 2
             s = s[:min(keep, len(s))]
-        out = np.clip(np.real(s) * 50.0, -127, 127).astype(np.int8)
+        out = np.clip(np.real(s) * self.OUT_SCALE, -127, 127).astype(np.int8)
         self._nsyms += len(s)
         self.stats = {"symbols": self._nsyms}
         return out
@@ -128,3 +131,16 @@ class FSKDemodModule(BaseDemodModule):
                 f.write(self.stream_work(blk.samples, valid=blk.valid,
                                          last=blk.last).tobytes())
         logger.info(f"FSK demodulated {self._nsyms} symbols")
+
+
+@register_module
+class SDPSKDemodModule(FSKDemodModule):
+    """SDPSK: quadrature demod -> DC block -> RRC -> M&M on the real
+    frequency signal, x400 soft scale (module_sdpsk_demod.cpp:60-122).
+    SDPSK's +-pi/2-per-symbol phase steps make the discriminator output a
+    binary waveform, so the FSK chain applies verbatim minus its second AGC.
+    """
+
+    id = "sdpsk_demod"
+    OUT_SCALE = 400.0
+    USE_AGC2 = False
