@@ -28,10 +28,7 @@ def save_img(img: np.ndarray, path: str | Path) -> None:
     if ext in (".pbm", ".pgm", ".ppm"):
         return _save_pnm(img, path)
     from PIL import Image
-    mode = None
-    if img.dtype == np.uint16 and img.ndim == 2:
-        mode = "I;16"
-    Image.fromarray(img, mode=mode).save(str(path))
+    Image.fromarray(img).save(str(path))
 
 
 def load_img(path: str | Path) -> np.ndarray:

@@ -7,3 +7,4 @@ import satdump_tpu.models.noaa_apt  # noqa: F401
 import satdump_tpu.models.metop  # noqa: F401
 import satdump_tpu.models.meteor  # noqa: F401
 import satdump_tpu.models.noaa_hrpt  # noqa: F401
+import satdump_tpu.models.meteor_hrpt  # noqa: F401

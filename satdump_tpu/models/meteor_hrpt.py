@@ -1,0 +1,192 @@
+"""METEOR-M HRPT chain: .soft (PM demod) -> CADUs -> MSU-MR products.
+
+Reference: plugins/meteor_support/meteor/ — module_meteor_hrpt_decoder
+(bit-serial CADU deframer with inversion handling, deframer.cpp) and
+module_meteor_instruments HRPT mode: per-CADU byte slices feed SimpleDeframers
+for BIS-M telemetry (sync 0x71DE2CD8, 88 bytes), MSU-MR (64-bit sync
+0x0218a7a392dd9abf, 11850 bytes) and MTVZA; the MSU-MR reader unpacks 6
+channels x 1572 10-bit pixels per line (msumr_reader.cpp:22-61) and
+timestamps come from the BIS-M Moscow-day clock + per-line H/M/S bytes.
+
+TPU formulation: deframing is correlate-everywhere (shared SimpleDeframer);
+the 10-bit unpack is one unpackbits+matmul over the whole line, all
+channels at once."""
+
+from __future__ import annotations
+
+import calendar
+import time
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+from satdump_tpu.core.log import logger
+from satdump_tpu.ops.fec.codings_misc import SimpleDeframer
+from satdump_tpu.ops.fec.deframer import CCSDSDeframer
+from satdump_tpu.pipeline.module import ProcessingModule, register_module
+from satdump_tpu.products.image_product import ImageProduct
+from satdump_tpu.products.product import DataSet
+
+CADU_SIZE = 1024
+MSUMR_SYNC = 0x0218A7A392DD9ABF
+MSUMR_FRAME = 11850
+BISM_SYNC = 0x71DE2CD8
+BISM_FRAME = 88
+MTVZA_SYNC = 0xFB386A45
+MTVZA_FRAME = 248
+
+# per-CADU byte slices (module_meteor_instruments.cpp:64-122, 1-indexed ref)
+_BISM_SLICES = [(6, 4), (262, 4), (518, 4), (774, 4)]
+_MSUMR_SLICES = [(22, 238), (278, 238), (534, 238), (790, 234)]
+_MTVZA_SLICES = [(14, 8), (270, 8), (526, 8), (782, 8)]
+
+SAT_NAMES = {0: "METEOR-M2", 1: "METEOR-M2-1", 2: "METEOR-M2-2",
+             3: "METEOR-M2-3", 4: "METEOR-M2-4"}
+NORADS = {0: 40069, 1: 0, 2: 44387, 3: 57166, 4: 59051}
+
+# msumr/offsets.h channel-4 x offsets per serial
+X_OFFSETS = {3: {3: (-1.6, -1.6)}, 4: {3: (-2.0, 0.0)}}
+
+
+@register_module
+class MeteorHRPTDecoderModule(ProcessingModule):
+    """soft -> .cadu (uncoded 1024-byte CADUs, both polarities tried)."""
+
+    id = "meteor_hrpt_decoder"
+
+    def process(self):
+        out_path = self.d_output_file_hint + ".cadu"
+        self.d_output_file = out_path
+        soft = np.fromfile(self.d_input_file, np.int8)
+        bits = (soft > 0).astype(np.uint8)
+        nframes = 0
+        deframers = [CCSDSDeframer(CADU_SIZE * 8), CCSDSDeframer(CADU_SIZE * 8)]
+        with open(out_path, "wb") as f:
+            frames_n = deframers[0].work(bits)
+            frames_i = deframers[1].work(1 - bits)
+            frames = frames_n if len(frames_n) >= len(frames_i) else frames_i
+            for frm in frames:
+                f.write(frm.tobytes())
+                nframes += 1
+        self.stats = {"frame_count": nframes,
+                      "deframer_state": "SYNCED" if nframes else "NOSYNC"}
+        logger.info(f"METEOR HRPT: {nframes} CADUs")
+
+
+def _unpack_10bit(data: np.ndarray) -> np.ndarray:
+    """5-byte groups -> 4x 10-bit words, vectorized."""
+    bits = np.unpackbits(np.asarray(data, np.uint8))
+    n = (len(bits) // 10)
+    w = (np.int64(2) ** np.arange(9, -1, -1)).astype(np.int64)
+    return (bits[: n * 10].reshape(n, 10) @ w).astype(np.uint16)
+
+
+class MSUMRHRPTReader:
+    """msumr_reader.cpp:22-61 — 6 channels, 1572 px/line, values << 6."""
+
+    def __init__(self):
+        self.lines = 0
+        self._rows = []
+        self.calibration = []
+
+    def work(self, frame: np.ndarray) -> None:
+        data = frame[50: 50 + 393 * 30].reshape(393, 30)
+        row = np.empty((6, 1572), np.uint16)
+        for ch in range(6):
+            row[ch] = _unpack_10bit(data[:, ch * 5: (ch + 1) * 5]
+                                    .reshape(-1)) << 6
+        self._rows.append(row)
+        self.calibration.append(_unpack_10bit(frame[35: 50]))
+        self.lines += 1
+
+    def get_channel(self, ch: int) -> np.ndarray:
+        if not self._rows:
+            return np.zeros((0, 1572), np.uint16)
+        return np.stack([r[ch] for r in self._rows])
+
+
+class BISMReader:
+    """bism_reader.cpp — Moscow-clock telemetry. The epoch is Dec 31 before
+    the most recent leap year relative to the (overridable) current year."""
+
+    def __init__(self, year_override: int = -1):
+        t = time.gmtime()
+        year = year_override if year_override != -1 else t.tm_year
+        year -= (year % 4) + 1
+        self.timestamp_offset = calendar.timegm(
+            (year, 12, 31, 0, 0, 0, 0, 0, 0)) - 1
+        self.clock_times: List[float] = []
+
+    def work(self, frame: np.ndarray) -> None:
+        if int(frame[4]) in (0, 255):
+            t = (int(frame[9]) << 24 | int(frame[8]) << 16
+                 | int(frame[7]) << 8 | int(frame[6]))
+            self.clock_times.append(self.timestamp_offset + t)
+
+    def get_last_day_moscow(self) -> float:
+        if not self.clock_times:
+            return 0.0
+        return self.clock_times[-1] - (self.clock_times[-1] % 86400)
+
+
+@register_module
+class MeteorInstrumentsModule(ProcessingModule):
+    id = "meteor_instruments"
+
+    def process(self):
+        directory = str(Path(self.d_output_file_hint).parent)
+        Path(directory).mkdir(parents=True, exist_ok=True)
+        self.d_output_file = directory
+        year_ov = int(self.param("year_override", -1))
+
+        msumr_def = SimpleDeframer(MSUMR_SYNC, 64, MSUMR_FRAME * 8, 10)
+        bism_def = SimpleDeframer(BISM_SYNC, 32, BISM_FRAME * 8, 0)
+        msumr = MSUMRHRPTReader()
+        bism = BISMReader(year_ov)
+        timestamps: List[float] = []
+        ids: List[int] = []
+
+        cadus = np.fromfile(self.d_input_file, np.uint8)
+        n = len(cadus) // CADU_SIZE
+        for i in range(n):
+            cadu = cadus[i * CADU_SIZE: (i + 1) * CADU_SIZE]
+            bism_data = np.concatenate(
+                [cadu[o: o + ln] for o, ln in _BISM_SLICES])
+            for frm in bism_def.work(np.unpackbits(bism_data)):
+                bism.work(frm)
+            msumr_data = np.concatenate(
+                [cadu[o: o + ln] for o, ln in _MSUMR_SLICES])
+            for frm in msumr_def.work(np.unpackbits(msumr_data)):
+                day = bism.get_last_day_moscow()
+                if day:
+                    ts = day + int(frm[8]) * 3600 + int(frm[9]) * 60 \
+                        + int(frm[10]) + int(frm[11]) / 255.0 - 3 * 3600
+                else:
+                    ts = -1.0
+                timestamps.append(ts)
+                ids.append(int(frm[12]) >> 4)
+                msumr.work(frm)
+
+        serial = int(np.bincount(ids).argmax()) if ids else -1
+        sat_name = SAT_NAMES.get(serial, "Unknown Meteor")
+        valid_ts = [t for t in timestamps if t > 0]
+        dataset = DataSet(satellite_name=sat_name,
+                          timestamp=float(np.median(valid_ts))
+                          if valid_ts else 0.0)
+        logger.info(f"MSU-MR (HRPT) lines: {msumr.lines} sat: {sat_name}")
+        if msumr.lines:
+            prod = ImageProduct()
+            prod.instrument_name = "msu_mr"
+            prod.set_product_timestamp(dataset.timestamp)
+            prod.set_product_source(sat_name)
+            for ch in range(6):
+                prod.add_channel(msumr.get_channel(ch), str(ch + 1),
+                                 bit_depth=10)
+            prod.contents["timestamps"] = timestamps
+            prod.contents["norad"] = NORADS.get(serial, 0)
+            pdir = str(Path(directory) / "MSU-MR")
+            prod.save(pdir)
+            dataset.products_list.append("MSU-MR")
+        dataset.save(directory)
+        self.stats = {"msumr_lines": msumr.lines, "satellite": sat_name}

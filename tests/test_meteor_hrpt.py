@@ -1,0 +1,105 @@
+"""METEOR-M HRPT: CADU deframer + MSU-MR/BIS-M instruments on synthetic
+CADUs (mirrors plugins/meteor_support/meteor/ in reverse)."""
+
+import numpy as np
+
+from satdump_tpu.models import meteor_hrpt as mh
+from satdump_tpu.products.product import load_product
+
+
+def _pack_10bit(words: np.ndarray) -> np.ndarray:
+    bits = ((words[:, None] >> np.arange(9, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(-1))
+
+
+def mk_msumr_frame(rng, hms=(10, 30, 5), serial=3):
+    frame = np.zeros(mh.MSUMR_FRAME, np.uint8)
+    sync = np.frombuffer(mh.MSUMR_SYNC.to_bytes(8, "big"), np.uint8)
+    frame[:8] = sync
+    frame[8], frame[9], frame[10] = hms
+    frame[11] = 128                      # fractional second
+    frame[12] = serial << 4
+    cal = rng.integers(0, 1024, 12).astype(np.uint16)
+    frame[35:50] = _pack_10bit(cal)
+    img = rng.integers(0, 1024, (6, 1572)).astype(np.uint16)
+    data = np.zeros((393, 30), np.uint8)
+    for ch in range(6):
+        data[:, ch * 5: (ch + 1) * 5] = \
+            _pack_10bit(img[ch]).reshape(393, 5)
+    frame[50: 50 + 393 * 30] = data.reshape(-1)
+    return frame, img
+
+
+def mk_bism_frame(day_seconds: int) -> np.ndarray:
+    frame = np.zeros(mh.BISM_FRAME, np.uint8)
+    frame[:4] = np.frombuffer(mh.BISM_SYNC.to_bytes(4, "big"), np.uint8)
+    frame[4] = 0
+    frame[6:10] = np.frombuffer(
+        int(day_seconds).to_bytes(4, "little"), np.uint8)
+    return frame
+
+
+def streams_to_cadus(msumr_stream: np.ndarray, bism_stream: np.ndarray):
+    """Pack the instrument byte streams into CADU slices."""
+    per_m = sum(n for _, n in mh._MSUMR_SLICES)
+    per_b = sum(n for _, n in mh._BISM_SLICES)
+    n = max(-(-len(msumr_stream) // per_m), -(-len(bism_stream) // per_b))
+    msumr_stream = np.concatenate(
+        [msumr_stream, np.zeros(n * per_m - len(msumr_stream), np.uint8)])
+    bism_stream = np.concatenate(
+        [bism_stream, np.zeros(n * per_b - len(bism_stream), np.uint8)])
+    cadus = np.zeros((n, mh.CADU_SIZE), np.uint8)
+    cadus[:, 0:4] = [0x1A, 0xCF, 0xFC, 0x1D]
+    mp = bp = 0
+    for i in range(n):
+        for off, ln in mh._MSUMR_SLICES:
+            cadus[i, off: off + ln] = msumr_stream[mp: mp + ln]
+            mp += ln
+        for off, ln in mh._BISM_SLICES:
+            cadus[i, off: off + ln] = bism_stream[bp: bp + ln]
+            bp += ln
+    return cadus
+
+
+def test_meteor_hrpt_decoder(tmp_path, rng):
+    cadus = streams_to_cadus(rng.integers(0, 256, 4000).astype(np.uint8),
+                             np.zeros(0, np.uint8))
+    bits = np.unpackbits(cadus.reshape(-1))
+    bits = np.concatenate([rng.integers(0, 2, 333).astype(np.uint8), bits])
+    soft = np.where(bits > 0, -90, 90).astype(np.int8)    # inverted polarity
+    p = tmp_path / "m.soft"
+    soft.tofile(p)
+    mod = mh.MeteorHRPTDecoderModule(str(p), str(tmp_path / "out"), {})
+    mod.process()
+    got = np.fromfile(mod.d_output_file, np.uint8).reshape(-1, 1024)
+    assert len(got) >= len(cadus) - 1
+    assert np.array_equal(got[0], cadus[0]) or np.array_equal(got[0],
+                                                              cadus[1])
+
+
+def test_meteor_instruments_hrpt(tmp_path, rng):
+    day_clock = 5000 * 86400 + 12 * 3600        # noon, arbitrary day
+    frames, imgs = zip(*[mk_msumr_frame(rng, hms=(10, 30, i), serial=3)
+                         for i in range(8)])
+    msumr_stream = np.concatenate(frames)
+    bism_stream = np.concatenate([mk_bism_frame(day_clock)] * 4)
+    cadus = streams_to_cadus(msumr_stream, bism_stream)
+    p = tmp_path / "m.cadu"
+    cadus.tofile(p)
+    mod = mh.MeteorInstrumentsModule(str(p), str(tmp_path / "out" / "x"),
+                                     {"year_override": 2024})
+    mod.process()
+    assert mod.stats["msumr_lines"] == 8
+    assert mod.stats["satellite"] == "METEOR-M2-3"
+    prod = load_product(str(tmp_path / "out" / "MSU-MR"))
+    assert len(prod.images) == 6
+    for ch in range(6):
+        assert np.array_equal(prod.images[ch].image >> 6,
+                              np.stack([im[ch] for im in imgs]))
+    ts = prod.contents["timestamps"]
+    assert len(ts) == 8
+    # BIS-M day (Moscow) + 10:30:SS + 128/255 - 3 h
+    base = mh.BISMReader(2024).timestamp_offset + day_clock
+    day = base - (base % 86400)
+    assert abs(ts[0] - (day + 10 * 3600 + 30 * 60 + 0 + 128 / 255 - 10800)) \
+        < 1e-6
