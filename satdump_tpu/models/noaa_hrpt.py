@@ -151,30 +151,68 @@ class AVHRRReaderHRPT:
         return chans
 
 
+def extract_tip_frames(words: np.ndarray) -> tuple[int, list]:
+    """TIP/AIP frames embedded in an HRPT minor frame: frmnum 1 = TIP,
+    3 = AIP; 5 frames of 104 10-bit words >> 2 starting at word 103
+    (module_noaa_instruments.cpp:52-77)."""
+    frmnum = (int(words[6]) >> 7) & 3
+    if frmnum not in (1, 3):
+        return frmnum, []
+    block = (words[103: 103 + 5 * 104] >> 2).astype(np.uint8)
+    return frmnum, [block[i * 104: (i + 1) * 104] for i in range(5)]
+
+
 @register_module
 class NOAAInstrumentsDecoderModule(ProcessingModule):
-    """HRPT minor frames -> AVHRR ImageProduct + DataSet
-    (ref module_noaa_instruments.cpp, AVHRR arm)."""
+    """HRPT minor frames -> AVHRR/HIRS/AMSU/SEM products + DataSet
+    (ref module_noaa_instruments.cpp). dsb_mode consumes raw 104-byte TIP
+    frames (the DSB downlink) and emits the TIP instruments only."""
 
     id = "noaa_instruments"
 
     def __init__(self, input_file, output_file_hint, parameters):
         super().__init__(input_file, output_file_hint, parameters)
         self.gac = bool(self.param("gac_mode", False))
+        self.dsb = bool(self.param("dsb_mode", False))
         self.year = int(self.param("year_override", 2021))
         self.sat_name = str(self.param("satellite", "NOAA"))
 
     def process(self):
+        from satdump_tpu.models.noaa_tip import (AMSUReader, HIRSReader,
+                                                 SEMReader)
+        from satdump_tpu.products.punctiform_product import PunctiformProduct
         reader = AVHRRReaderHRPT(self.gac, self.year)
-        raw = np.fromfile(self.d_input_file, "<u2")
-        nfr = len(raw) // FRAME_WORDS
-        for i in range(nfr):
-            reader.work_noaa(raw[i * FRAME_WORDS:(i + 1) * FRAME_WORDS])
-        logger.info(f"NOAA instruments: AVHRR lines {reader.lines}")
+        hirs = HIRSReader(self.year)
+        sem = SEMReader(self.year)
+        amsu = AMSUReader()
+        if self.dsb:
+            tips = np.fromfile(self.d_input_file, np.uint8)
+            for i in range(len(tips) // 104):
+                tip = tips[i * 104: (i + 1) * 104]
+                hirs.work(tip)
+                sem.work(tip)
+        else:
+            raw = np.fromfile(self.d_input_file, "<u2")
+            nfr = len(raw) // FRAME_WORDS
+            for i in range(nfr):
+                words = raw[i * FRAME_WORDS:(i + 1) * FRAME_WORDS]
+                reader.work_noaa(words)
+                frmnum, tipfrm = extract_tip_frames(words)
+                for tip in tipfrm:
+                    if frmnum == 1:
+                        hirs.work(tip)
+                        sem.work(tip)
+                        amsu.last_TIP_timestamp = hirs.last_timestamp
+                    else:
+                        amsu.work_noaa(tip)
+        logger.info(f"NOAA instruments: AVHRR {reader.lines} lines, "
+                    f"HIRS {hirs.line}, AMSU {amsu.linesA1}/{amsu.linesA2}")
 
         out_dir = Path(self.d_output_file_hint).parent
-        ds = DataSet(self.sat_name, float(np.median(reader.timestamps))
-                     if reader.timestamps else -1.0)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        all_ts = reader.timestamps or [t for t in hirs.timestamps if t > 0]
+        ds = DataSet(self.sat_name, float(np.median(all_ts))
+                     if all_ts else -1.0)
         if reader.lines:
             p = ImageProduct()
             p.instrument_name = "avhrr_3"
@@ -187,5 +225,63 @@ class NOAAInstrumentsDecoderModule(ProcessingModule):
                 p.set_calibration("noaa_avhrr3", dict(calib))
             p.save(str(out_dir / "AVHRR"))
             ds.products_list.append("AVHRR")
+        if hirs.line:
+            p = ImageProduct()
+            p.instrument_name = "hirs"
+            for ch in range(20):
+                p.add_channel(hirs.get_channel(ch), str(ch + 1),
+                              bit_depth=13)
+            p.contents["timestamps"] = hirs.timestamps
+            p.save(str(out_dir / "HIRS"))
+            ds.products_list.append("HIRS")
+        if amsu.linesA1 or amsu.linesA2:
+            p = ImageProduct()
+            p.instrument_name = "amsu_a"
+            for ch in range(2):
+                p.add_channel(amsu.get_channel_a2(ch), str(ch + 1),
+                              bit_depth=16)
+            for ch in range(13):
+                p.add_channel(amsu.get_channel_a1(ch), str(ch + 3),
+                              bit_depth=16)
+            p.contents["timestamps_a1"] = amsu.timestamps_a1
+            p.contents["timestamps_a2"] = amsu.timestamps_a2
+            p.save(str(out_dir / "AMSU"))
+            ds.products_list.append("AMSU")
+        if any(sem.channels):
+            p = PunctiformProduct()
+            p.instrument_name = "sem"
+            for ch in range(62):
+                if sem.channels[ch]:
+                    p.add_channel(str(ch), sem.timestamps[ch],
+                                  [(0.0, 0.0)] * len(sem.channels[ch]),
+                                  sem.channels[ch])
+            p.save(str(out_dir / "SEM"))
+            ds.products_list.append("SEM")
         self.d_output_file = ds.save(str(out_dir))
-        self.stats = {"avhrr_lines": reader.lines}
+        self.stats = {"avhrr_lines": reader.lines, "hirs_lines": hirs.line,
+                      "amsu_lines": amsu.linesA1}
+
+
+@register_module
+class NOAADSBDecoderModule(ProcessingModule):
+    """soft (PM demod) -> .tip 104-byte frames (ref
+    module_noaa_dsb_decoder.cpp + dsb_deframer.cpp: 16-bit ASM 0xEDE2,
+    frames include the sync, both polarities searched)."""
+
+    id = "noaa_dsb_decoder"
+
+    def process(self):
+        from satdump_tpu.ops.fec.codings_misc import SimpleDeframer
+        out_path = self.d_output_file_hint + ".tip"
+        self.d_output_file = out_path
+        soft = np.fromfile(self.d_input_file, np.int8)
+        bits = (soft > 0).astype(np.uint8)
+        f_n = SimpleDeframer(0xEDE2, 16, 104 * 8, 0).work(bits)
+        f_i = SimpleDeframer(0xEDE2, 16, 104 * 8, 0).work(1 - bits)
+        frames = f_n if len(f_n) >= len(f_i) else f_i
+        with open(out_path, "wb") as f:
+            for frm in frames:
+                f.write(frm.tobytes())
+        self.stats = {"frame_count": len(frames),
+                      "deframer_state": "SYNCED" if frames else "NOSYNC"}
+        logger.info(f"NOAA DSB: {len(frames)} TIP frames")
