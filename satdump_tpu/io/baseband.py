@@ -73,12 +73,18 @@ class BasebandReader:
                  iq_swap: bool = False):
         self.path = str(path)
         self._mem: Optional[np.ndarray] = None
-        if str(fmt).lower().lstrip(".") == "ziq":
-            # compressed stream: decode once, serve blocks from memory
-            # (ref common/ziq.cpp streams; fine at recording sizes)
-            from satdump_tpu.io.ziq import read_ziq
-            self._mem, sr, self.annotation = read_ziq(self.path)
-            self.fmt = "ziq"
+        if str(fmt).lower().lstrip(".") in ("ziq", "ziq2"):
+            # compressed/packetized stream: decode once, serve blocks from
+            # memory (ref common/ziq.cpp, ziq2.cpp; fine at recording sizes)
+            fmt = str(fmt).lower().lstrip(".")
+            if fmt == "ziq2":
+                from satdump_tpu.io.ziq import read_ziq2
+                self._mem, sr = read_ziq2(self.path)
+                self.annotation = {}
+            else:
+                from satdump_tpu.io.ziq import read_ziq
+                self._mem, sr, self.annotation = read_ziq(self.path)
+            self.fmt = fmt
             self.block_size = int(block_size)
             self.iq_swap = iq_swap
             self.samplerate = sr or None
@@ -259,8 +265,11 @@ def detect_baseband_format(path: str | Path) -> Optional[str]:
     p = str(path)
     try:
         with open(p, "rb") as f:
-            if f.read(4) == b"ZIQ_":
+            magic = f.read(4)
+            if magic == b"ZIQ_":
                 return "ziq"
+            if magic == b"ZIQ2":
+                return "ziq2"
         with open(p, "rb") as f:
             if f.read(4) == b"RIFF":
                 return "wav16"

@@ -37,6 +37,13 @@ def try_parse_header(path: str) -> HeaderInfo:
         elif audio_fmt in (1, 3) and bits == 32:
             fmt = "cf32"
         return HeaderInfo(True, float(rate), fmt)
+    # ZIQ2 (common/ziq2.cpp magic: signature + synced INFO packet)
+    if head[:4] == b"ZIQ2":
+        try:
+            rate = struct.unpack_from("<Q", head, 13)[0]
+            return HeaderInfo(True, float(rate), "ziq2")
+        except Exception:
+            return HeaderInfo(True, 0.0, "ziq2")
     # ZIQ (common/ziq.cpp magic)
     if head[:4] == b"ZIQ_":
         try:

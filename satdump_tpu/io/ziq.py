@@ -98,3 +98,72 @@ def read_ziq(path: str | Path
     except json.JSONDecodeError:
         annotation = {}
     return out, float(samplerate), annotation
+
+
+# ---------------------------------------------------------------------------
+# ZIQ2 (ref src-core/common/ziq2.{h,cpp}): packetized, ASM-synced stream of
+# [0x1ACFFC1D][u32le pkt_size][u8 pkt_type]{payload}. INFO packets carry a
+# u64le samplerate; IQ packets carry [u8 bit_depth][f32le scale] + samples
+# quantized per packet by their own peak magnitude.
+# ---------------------------------------------------------------------------
+
+SIGNATURE2 = b"ZIQ2"
+ZIQ2_ASM = b"\x1a\xcf\xfc\x1d"
+ZIQ2_PKT_INFO = 0
+ZIQ2_PKT_IQ = 1
+
+
+def is_ziq2(path: str | Path) -> bool:
+    with open(path, "rb") as f:
+        return f.read(4) == SIGNATURE2
+
+
+def write_ziq2(path: str | Path, samples: np.ndarray, samplerate: float = 0,
+               bits_per_sample: int = 8, pkt_samples: int = 8192) -> None:
+    """File header + INFO packet + IQ packets (ziq2_write_file_hdr /
+    ziq2_write_iq_pkt)."""
+    samples = np.asarray(samples, np.complex64)
+    with open(path, "wb") as f:
+        f.write(SIGNATURE2)
+        info = struct.pack("<Q", int(samplerate))
+        f.write(ZIQ2_ASM + struct.pack("<IB", len(info), ZIQ2_PKT_INFO)
+                + info)
+        for off in range(0, len(samples), pkt_samples):
+            blk = samples[off: off + pkt_samples]
+            peak = float(np.max(np.abs(blk))) or 1.0
+            scale = _scale(bits_per_sample) / peak
+            iq = np.empty(2 * len(blk), np.float32)
+            iq[0::2], iq[1::2] = blk.real, blk.imag
+            dt = np.int8 if bits_per_sample == 8 else np.int16
+            data = np.round(iq * scale).astype(dt).tobytes()
+            hdr = struct.pack("<Bf", bits_per_sample, scale)
+            f.write(ZIQ2_ASM + struct.pack(
+                "<IB", len(hdr) + len(data), ZIQ2_PKT_IQ) + hdr + data)
+
+
+def read_ziq2(path: str | Path) -> Tuple[np.ndarray, float]:
+    """Returns (complex64 samples, samplerate)."""
+    raw = Path(path).read_bytes()
+    if raw[:4] != SIGNATURE2:
+        raise ValueError("not a ZIQ2 file")
+    pos = 4
+    rate = 0.0
+    chunks = []
+    while pos + 9 <= len(raw):
+        if raw[pos: pos + 4] == ZIQ2_ASM:
+            pos += 4
+        size, ptype = struct.unpack_from("<IB", raw, pos)
+        pos += 5
+        payload = raw[pos: pos + size]
+        pos += size
+        if ptype == ZIQ2_PKT_INFO and size >= 8:
+            rate = float(struct.unpack_from("<Q", payload)[0])
+        elif ptype == ZIQ2_PKT_IQ and size >= 5:
+            depth, scale = struct.unpack_from("<Bf", payload)
+            dt = np.int8 if depth == 8 else np.int16
+            iq = np.frombuffer(payload[5:], dt).astype(np.float32) \
+                / (scale or 1.0)
+            chunks.append(iq[0::2] + 1j * iq[1::2])
+    if not chunks:
+        return np.zeros(0, np.complex64), rate
+    return np.concatenate(chunks).astype(np.complex64), rate

@@ -191,6 +191,26 @@ class NOAAInstrumentsDecoderModule(ProcessingModule):
                 tip = tips[i * 104: (i + 1) * 104]
                 hirs.work(tip)
                 sem.work(tip)
+        elif self.gac:
+            # GAC frames: 4159 bytes -> 3327 10-bit words; TIP subframes
+            # 1-5, AIP 6-10 (module_noaa_instruments.cpp:85-108)
+            raw = np.fromfile(self.d_input_file, np.uint8)
+            nfr = len(raw) // 4159
+            for i in range(nfr):
+                fb = np.unpackbits(raw[i * 4159: (i + 1) * 4159])
+                nw = len(fb) // 10
+                words = (fb[: nw * 10].reshape(nw, 10)
+                         << np.arange(9, -1, -1)).sum(axis=1) \
+                    .astype(np.uint16)
+                reader.work_noaa(words)
+                block = (words[103: 103 + 10 * 104] >> 2).astype(np.uint8)
+                for k in range(5):
+                    tip = block[k * 104: (k + 1) * 104]
+                    hirs.work(tip)
+                    sem.work(tip)
+                    amsu.last_TIP_timestamp = hirs.last_timestamp
+                for k in range(5, 10):
+                    amsu.work_noaa(block[k * 104: (k + 1) * 104])
         else:
             raw = np.fromfile(self.d_input_file, "<u2")
             nfr = len(raw) // FRAME_WORDS
@@ -285,3 +305,65 @@ class NOAADSBDecoderModule(ProcessingModule):
         self.stats = {"frame_count": len(frames),
                       "deframer_state": "SYNCED" if frames else "NOSYNC"}
         logger.info(f"NOAA DSB: {len(frames)} TIP frames")
+
+
+def gac_pn_sequence() -> np.ndarray:
+    """The 1023-bit GAC randomizer PN (ref gac_pn.h): the complement of the
+    m-sequence c[n] = c[n-5]^c[n-8]^c[n-9]^c[n-10] seeded 1111100010
+    (verified bit-exact against the reference table)."""
+    c = np.zeros(1023, np.uint8)
+    c[:10] = [1, 1, 1, 1, 1, 0, 0, 0, 1, 0]
+    for i in range(10, 1023):
+        c[i] = c[i - 5] ^ c[i - 8] ^ c[i - 9] ^ c[i - 10]
+    return 1 - c
+
+
+def gac_pn_bytes() -> np.ndarray:
+    """PN as 4159 bytes, skipping the 60 sync bits
+    (module_noaa_gac_decoder.cpp:55-62)."""
+    pn = gac_pn_sequence()
+    nbits = 4159 * 8
+    bits = np.zeros(nbits, np.uint8)
+    idx = np.arange(nbits - 60)
+    bits[idx + 60] = pn[idx % 1023]
+    return np.packbits(bits)
+
+
+GAC_FRAME_BITS = 33270
+GAC_FRAME_BYTES = 4159
+GAC_ASM = 0xA116FD71
+GAC_ASM_BACKWARD = 0x33C3E4A6
+
+
+@register_module
+class NOAAGACDecoderModule(ProcessingModule):
+    """soft -> .frm of derandomized 4159-byte GAC frames
+    (ref module_noaa_gac_decoder.cpp; backward reverses tape playback)."""
+
+    id = "noaa_gac_decoder"
+
+    def __init__(self, input_file, output_file_hint, parameters):
+        super().__init__(input_file, output_file_hint, parameters)
+        self.backward = bool(self.param("backward", False))
+
+    def process(self):
+        from satdump_tpu.ops.fec.deframer import CCSDSDeframer
+        out_path = self.d_output_file_hint + ".frm"
+        self.d_output_file = out_path
+        asm = GAC_ASM_BACKWARD if self.backward else GAC_ASM
+        deframer = CCSDSDeframer(GAC_FRAME_BITS, asm)
+        pn = gac_pn_bytes()
+        soft = np.fromfile(self.d_input_file, np.int8)
+        bits = (soft > 0).astype(np.uint8)
+        n = 0
+        frames = deframer.work(bits)
+        with open(out_path, "wb") as f:
+            for frm in frames:
+                if self.backward:
+                    fb = np.unpackbits(frm)[:GAC_FRAME_BITS][::-1]
+                    frm = np.packbits(fb)
+                f.write((frm ^ pn).tobytes())
+                n += 1
+        self.stats = {"frame_count": n,
+                      "deframer_state": "SYNCED" if n else "NOSYNC"}
+        logger.info(f"NOAA GAC: {n} frames")

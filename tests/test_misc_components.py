@@ -354,3 +354,27 @@ def test_mqtt_publish_subscribe():
     pub.disconnect()
     sub.disconnect()
     srv.close()
+
+
+def test_ziq2_roundtrip(tmp_path, rng):
+    from satdump_tpu.io.ziq import read_ziq2, write_ziq2, is_ziq2
+    from satdump_tpu.io.baseband import BasebandReader, \
+        detect_baseband_format
+    from satdump_tpu.io.detect import try_parse_header
+    x = (rng.normal(0, 0.3, 20000) + 1j * rng.normal(0, 0.3, 20000)) \
+        .astype(np.complex64)
+    p = tmp_path / "t.ziq2"
+    write_ziq2(p, x, samplerate=250_000, bits_per_sample=16,
+               pkt_samples=4096)
+    assert is_ziq2(p)
+    assert detect_baseband_format(p) == "ziq2"
+    info = try_parse_header(str(p))
+    assert info.valid and info.samplerate == 250_000 and info.fmt == "ziq2"
+    y, rate = read_ziq2(p)
+    assert rate == 250_000 and len(y) == len(x)
+    assert np.max(np.abs(y - x)) < 2e-4        # 16-bit quantization
+    rd = BasebandReader(p, "ziq2")
+    assert rd.samplerate == 250_000
+    blks = list(rd.blocks())
+    got = np.concatenate([b.samples[:b.valid] for b in blks])
+    assert len(got) == len(x)

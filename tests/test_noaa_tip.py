@@ -160,3 +160,66 @@ def test_extract_tip_from_hrpt_minor_frame(rng):
     assert frmnum == 1 and len(got) == 5
     for g, t in zip(got, tips):
         assert np.array_equal(g, t)
+
+
+def test_gac_pn_generator():
+    import hashlib
+    from satdump_tpu.models.noaa_hrpt import gac_pn_bytes, gac_pn_sequence
+    pn = gac_pn_sequence()
+    assert len(pn) == 1023 and int(pn.sum()) == 511      # complemented m-seq
+    pb = gac_pn_bytes()
+    # digest of the reference-table-derived byte expansion (verified once
+    # against gac_pn.h + module_noaa_gac_decoder.cpp:55-62)
+    assert hashlib.sha256(pb.tobytes()).hexdigest()[:16] == \
+        "3ea5dc57108a05cc"
+
+
+def test_gac_decoder_roundtrip(tmp_path, rng):
+    from satdump_tpu.models.noaa_hrpt import (GAC_FRAME_BITS, GAC_ASM,
+                                              NOAAGACDecoderModule,
+                                              gac_pn_bytes)
+    pn = gac_pn_bytes()
+    frames = []
+    for _ in range(4):
+        frm = rng.integers(0, 256, 4159).astype(np.uint8)
+        frm[0:4] = np.frombuffer(GAC_ASM.to_bytes(4, "big"), np.uint8)
+        frm[4:8] = [0x1D, 0x83, 0xC9, 0x5A]    # rest of the 60-bit sync
+        # bits 32..59 are sync (not PN'd); PN starts at bit 60
+        frames.append(frm)
+    tx_bits = np.concatenate(
+        [np.unpackbits(f ^ pn)[:GAC_FRAME_BITS] for f in frames])
+    tx_bits = np.concatenate([rng.integers(0, 2, 71).astype(np.uint8),
+                              tx_bits])
+    soft = np.where(tx_bits > 0, 90, -90).astype(np.int8)
+    p = tmp_path / "g.soft"
+    soft.tofile(p)
+    mod = NOAAGACDecoderModule(str(p), str(tmp_path / "out"), {})
+    mod.process()
+    assert mod.stats["frame_count"] >= 3
+    got = np.fromfile(mod.d_output_file, np.uint8).reshape(-1, 4159)
+    # the 33270-bit frame leaves the last byte's 2 LSBs outside the frame
+    assert np.array_equal(got[0][:-1], frames[0][:-1])
+    assert (got[0][-1] & 0xFC) == (frames[0][-1] & 0xFC)
+
+
+def test_gac_instruments(tmp_path, rng):
+    img_line = rng.integers(0, 1024, (409, 5)).astype(np.uint16)
+    words = np.zeros(3327, np.uint16)
+    words[8] = 150 << 1                       # day of year
+    words[9], words[10], words[11] = 0, 0, 0
+    words[6] = 1                              # ch3a on
+    words[1182: 1182 + 409 * 5] = img_line.reshape(-1)
+    bits = ((words[:, None] >> np.arange(9, -1, -1)) & 1).astype(np.uint8)
+    frame = np.packbits(bits.reshape(-1))[:4159]
+    frame = np.concatenate([frame, np.zeros(4159 - len(frame), np.uint8)])
+    p = tmp_path / "g.frm"
+    np.concatenate([frame, frame]).tofile(p)
+    mod = NOAAInstrumentsDecoderModule(
+        str(p), str(tmp_path / "out" / "x"),
+        {"gac_mode": True, "year_override": 2024})
+    mod.process()
+    assert mod.stats["avhrr_lines"] == 2
+    from satdump_tpu.products.product import load_product
+    prod = load_product(str(tmp_path / "out" / "AVHRR"))
+    assert prod.images[0].image.shape == (2, 409)
+    assert np.array_equal(prod.images[0].image[0] >> 6, img_line[:, 0])
