@@ -8,3 +8,4 @@ import satdump_tpu.models.metop  # noqa: F401
 import satdump_tpu.models.meteor  # noqa: F401
 import satdump_tpu.models.noaa_hrpt  # noqa: F401
 import satdump_tpu.models.meteor_hrpt  # noqa: F401
+import satdump_tpu.models.goes_gvar  # noqa: F401
