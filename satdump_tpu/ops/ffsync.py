@@ -241,6 +241,10 @@ class FFClockState(NamedTuple):
                              # re-resolve arbitrarily at every block seam)
     rrc_history: jnp.ndarray = None  # (rrc_ntaps-1,) matched-filter input
                              # tail; empty -> zero-history per block (legacy)
+    oq_imag: jnp.ndarray = None      # scalar f32: previous sample's imag for
+                             # the OQPSK half-symbol delay (seam carry)
+    sym_phase: jnp.ndarray = None    # scalar f32: symbol-domain V&V phase
+                             # continuity (OQPSK second-stage refinement)
 
 
 def ff_clock_init(ntaps: int = 8, dtype=jnp.complex64, rrc_ntaps: int = 0
@@ -252,6 +256,8 @@ def ff_clock_init(ntaps: int = 8, dtype=jnp.complex64, rrc_ntaps: int = 0
         last_f=jnp.zeros((), jnp.float32),
         nco_phase=jnp.zeros((), jnp.float32),
         rrc_history=xfer.zeros((max(rrc_ntaps - 1, 0),), dtype),
+        oq_imag=jnp.zeros((), jnp.float32),
+        sym_phase=jnp.zeros((), jnp.float32),
     )
 
 
@@ -469,12 +475,21 @@ def ff_psk_demod_block(state: FFClockState, x: jnp.ndarray, *, order: int,
                        bank: jnp.ndarray | None = None,
                        sub_phase: int = 1024, sub_timing: int = 2048,
                        out_cap: int | None = None,
-                       use_kernel: bool | None = None
+                       use_kernel: bool | None = None,
+                       oqpsk: bool = False
                        ) -> Tuple[FFClockState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full feedforward PSK demod for one IQ block: AGC → RRC (overlap-save
     FFT) → CFO removal (FFT of x^M) → V&V phase → O&M timing + polyphase
     symbol pick. Mirrors PSKDemodModule's chain (module_psk_demod.cpp:88-137)
     with every feedback loop replaced by its feedforward dual.
+
+    `oqpsk=True` adds the half-symbol Q realignment (the feedforward dual of
+    DelayOneImagBlock + Costas, module_psk_demod.cpp:119-136): the staggered
+    stream's 4th-power line is weak and data-biased, so the coarse V&V runs
+    with a large sub-block (residual phase is near-constant once the CFO is
+    removed), the imag rail is delayed one sample (seam-carried), and a
+    second, symbol-domain V&V refines the phase on the now-clean QPSK points
+    (measured: BER 0 at SNR 16 dB where single-stage leaves 35° of jitter).
 
     Returns (state', symbols[out_cap] complex64, valid[out_cap], snr_db).
     NOTE: RRC history is folded into the carried sample history of the clock
@@ -513,15 +528,38 @@ def ff_psk_demod_block(state: FFClockState, x: jnp.ndarray, *, order: int,
     xc = cfo_correct(xf, f, state.nco_phase)
     nco = jnp.mod(state.nco_phase + 2 * jnp.pi * f * n, 2 * jnp.pi)
     theta0 = float(np.pi / 4) if order == 4 else 0.0
+    if oqpsk:
+        sub_phase = max(sub_phase, 4096)
     ph_t, last_ph = vv_phase_track(xc, order, sub_phase, state.last_phase,
                                    const_rotation=theta0)
     xp = xc * jnp.exp(-1j * ph_t).astype(xc.dtype)
+
+    if oqpsk:
+        # realign the Q rail: Im[t] <- Im[t-1] (one sample = T/2 at sps≈2),
+        # previous block's trailing imag carried across the seam
+        oq = state.oq_imag if state.oq_imag is not None \
+            else jnp.zeros((), jnp.float32)
+        prev_im = jnp.concatenate([oq[None].astype(jnp.float32),
+                                   jnp.imag(xp[:-1])])
+        state = state._replace(oq_imag=jnp.imag(xp[-1]).astype(jnp.float32))
+        xp = (jnp.real(xp) + 1j * prev_im).astype(xp.dtype)
 
     # timing + symbol pick
     state2, syms, valid = ff_clock_recovery(
         state._replace(last_phase=last_ph, last_f=f, nco_phase=nco), xp,
         sps=sps, sub=sub_timing, bank=bank, out_cap=out_cap,
         use_kernel=use_kernel)
+
+    if oqpsk:
+        # second-stage V&V on the picked symbols: true QPSK points, so the
+        # estimate is unbiased; continuity carried in sym_phase
+        sp = state2.sym_phase if state2.sym_phase is not None \
+            else jnp.zeros((), jnp.float32)
+        ph_s, last_sp = vv_phase_track(jnp.where(valid, syms, 0), order,
+                                       min(1024, max(64, syms.shape[0] // 8)),
+                                       sp, const_rotation=theta0)
+        syms = syms * jnp.exp(-1j * ph_s).astype(syms.dtype)
+        state2 = state2._replace(sym_phase=last_sp)
 
     # SNR on the picked symbols (M2M4, as the reference's estimator)
     p = jnp.abs(jnp.where(valid, syms, 0)) ** 2

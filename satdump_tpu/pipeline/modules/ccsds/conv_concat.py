@@ -5,6 +5,14 @@ Reference: src-core/pipeline/modules/ccsds/module_ccsds_conv_concat_decoder.cpp
 block: [iq invert/bpsk_90 rotate] -> Viterbi (phase/shift search) -> [NRZ-M]
 -> deframer -> per frame: [derand] -> RS(223/239) interleaved -> [derand
 after RS] -> write cadu. Parameter surface matches the reference JSON.
+
+Two execution paths share the parameter surface:
+* device (default at rate 1/2): the fused single-jit soft->CADU chain
+  (ops/fec/cadu_chain.py) — Viterbi, NRZ-M, deframing, derand and RS all
+  run on the TPU per chunk; the host only does the lock search (a small
+  batched-hypothesis probe) and absolute-position frame bookkeeping.
+* host: stage-at-a-time with host NumPy RS — the portable fallback, and
+  the only path for punctured conv rates (device depuncture TBD).
 """
 
 from __future__ import annotations
@@ -19,7 +27,9 @@ from satdump_tpu.ops.fec.randomization import derand_ccsds
 from satdump_tpu.ops.fec.reed_solomon import ReedSolomon
 from satdump_tpu.ops.fec.rotation import PHASE_0, PHASE_90, rotate_soft
 from satdump_tpu.pipeline.module import ProcessingModule, register_module
-from satdump_tpu.pipeline.modules.ccsds.viterbi_sync import Viterbi12Sync
+from satdump_tpu.pipeline.modules.ccsds.viterbi_sync import (ST_IDLE,
+                                                             ST_SYNCED,
+                                                             Viterbi12Sync)
 
 
 @register_module
@@ -66,6 +76,73 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
         self.rs = ReedSolomon(k=223 if self.rs_type == "rs223" else 239) if self.rs_i else None
         self.nrzm_last = 0
         self.block = int(self.param("buffer_size", 0) or (8 << 20))
+        dev = self.param("device", None)
+        self.use_device = (self.conv_rate == "1/2") if dev is None else bool(dev)
+        if self.use_device:
+            from satdump_tpu.ops.fec.cadu_chain import CaduChain
+            self._chain = CaduChain(
+                cadu_bits=self.cadu_bytes * 8,
+                chunk_pairs=min(self.block // 2, 1 << 20),
+                asm=self.asm, nrzm=self.diff_decode, derand=self.derand,
+                derand_after_rs=self.derand_after_rs,
+                derand_from=self.derand_from, rs_i=self.rs_i,
+                rs_k=223 if self.rs_type == "rs223" else 239,
+                rs_dual=self.rs_dualbasis)
+            self._dev_state = None
+            self._dev_lead = np.zeros(0, np.int8)
+
+    # -- device path ---------------------------------------------------------
+    def _stream_work_device(self, chunk: np.ndarray, fout, last: bool) -> int:
+        """Fused device chain + host lock search. The Viterbi12Sync instance
+        is used ONLY as the hypothesis prober (its batched TEST-window
+        search); the streaming decode runs in the single-jit chain."""
+        vit = self.viterbi
+        buf = np.concatenate([self._dev_lead, np.asarray(chunk, np.int8)])
+        if vit.state == ST_IDLE:
+            if len(buf) >= 2048 and vit._search(buf):
+                logger.info(f"Viterbi lock: phase {vit.phase} shift "
+                            f"{vit.shift} swap {vit.iq_swap} ber {vit.ber:.3f}")
+                buf = buf[vit.shift:]            # one-time pair realignment
+                self._dev_state = self._chain.init_state()
+                self.nrzm_last = 0
+            else:
+                self._dev_lead = np.zeros(0, np.int8)
+                self._update_stats()
+                return 0
+        keep = len(buf) // 2 * 2                  # chain consumes whole pairs
+        self._dev_lead = buf[keep:]
+        n = 0
+        ber = vit.ber
+        for off in range(0, keep, self._chain.chunk_pairs * 2):
+            cadus, rs_errs, st = self._chain.work(
+                self._dev_state, buf[off: off + self._chain.chunk_pairs * 2],
+                vit.phase, vit.iq_swap)
+            n += self._emit_device(cadus, rs_errs, fout)
+            ber = st["ber"]
+        if last and vit.state == ST_SYNCED:
+            cadus, rs_errs, st = self._chain.flush(
+                self._dev_state, vit.phase, vit.iq_swap)
+            n += self._emit_device(cadus, rs_errs, fout)
+        vit.ber = ber
+        if ber > self.viterbi_ber_thr:
+            vit.invalid += 1
+            if vit.invalid > self.viterbi_outsync:
+                vit.state = ST_IDLE
+        else:
+            vit.invalid = 0
+        self._nframes += n
+        self._update_stats()
+        return n
+
+    def _emit_device(self, cadus: np.ndarray, rs_errs: np.ndarray, fout) -> int:
+        if len(cadus) == 0:
+            return 0
+        if self.rs is not None:
+            self._rs_avg.append(rs_errs.reshape(-1))
+            if self.rs_usecheck:
+                cadus = cadus[(rs_errs >= 0).all(axis=1)]
+        fout.write(np.ascontiguousarray(cadus[:, : self.cadu_bytes]).tobytes())
+        return len(cadus)
 
     def _process_frames(self, frames, fout, rs_avg):
         """Batched frame pipeline: derand + RS + write, vectorized over all
@@ -101,6 +178,8 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
         """One soft chunk -> CADUs written to `fout`. Returns frames added."""
         if self.bpsk_90 or self.iq_invert:
             chunk = rotate_soft(chunk, PHASE_0, iq_swap=True)
+        if self.use_device:
+            return self._stream_work_device(chunk, fout, last)
         bits = self.viterbi.work(chunk, last=last)
         if len(bits) == 0:
             return 0
@@ -114,11 +193,13 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
 
     def _update_stats(self) -> None:
         rs_avg = self._rs_avg
+        defra = self.viterbi.getState() if self.use_device \
+            else self.deframer.state
         self.stats = {
             "frames": self._nframes,
             "viterbi_ber": self.viterbi.ber,
             "viterbi_lock": self.viterbi.getState(),
-            "deframer_lock": self.deframer.state,
+            "deframer_lock": defra,
             "rs_avg": float(np.mean(np.concatenate(rs_avg))) if rs_avg else 0.0,
         }
 
@@ -134,14 +215,7 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
                 last = off + self.block >= len(soft)
                 self.stream_work(chunk, fout, last=last)
         nframes = self._nframes
-        rs_avg = self._rs_avg
-        self.stats = {
-            "frames": nframes,
-            "viterbi_ber": self.viterbi.ber,
-            "viterbi_lock": self.viterbi.getState(),
-            "deframer_lock": self.deframer.state,
-            "rs_avg": float(np.mean(np.concatenate(rs_avg))) if rs_avg else 0.0,
-        }
+        self._update_stats()
         logger.info(f"Decoded {nframes} CADUs (viterbi ber {self.viterbi.ber:.3f}, "
                     f"rs avg {self.stats['rs_avg']:.2f})")
 

@@ -49,9 +49,12 @@ class PSKDemodModule(BaseDemodModule):
         if self.is_oqpsk:
             self.MIN_SPS, self.MAX_SPS = 1.6, 2.4
         self.block_base = int(self.param("buffer_size", 0) or (1 << 18))
-        # `fast: true` selects the feedforward sync chain (ops/ffsync.py) —
-        # no per-sample recurrences; the TPU throughput path.
-        self.fast = bool(self.param("fast", False))
+        # `fast` selects the feedforward sync chain (ops/ffsync.py) — no
+        # per-sample recurrences; the TPU throughput path and the DEFAULT.
+        # `fast: false` opts into the classic per-sample Costas/M&M scan
+        # chain (reference-parity loops) — CPU only: costas_scan does not
+        # lower on the TPU backend, so on TPU it falls back with a warning.
+        self.fast = bool(self.param("fast", True))
         # `multichip: true` shards consecutive time-blocks of the stream
         # over the device mesh (parallel/timeshard.py — halo exchange +
         # seam phase stitching over ICI); requires fast + >1 device.
@@ -136,10 +139,16 @@ class PSKDemodModule(BaseDemodModule):
         omega_limit = self.clock_omega_limit
         mm_out_cap = int(np.ceil(out_n / (sps * (1 - omega_limit)))) + 2
 
+        if not self.fast and ffsync._on_tpu():
+            logger.warning(
+                "classic per-sample demod chain (fast=false) does not lower "
+                "on the TPU backend (costas_scan: UNIMPLEMENTED); using the "
+                "feedforward fast chain instead. Run with JAX_PLATFORMS=cpu "
+                "for the reference-parity loops.")
+            self.fast = True
         if self.fast:
-            if self.is_oqpsk:
-                raise PipelineError("fast sync does not support OQPSK yet")
             order = _ORDER[self.constellation]
+            is_oqpsk = self.is_oqpsk
             ff_cap = int(np.ceil(out_n / (sps * 0.99))) + 2
 
             def fast_step(state, x):
@@ -153,7 +162,7 @@ class PSKDemodModule(BaseDemodModule):
                         rs_st, x, r_bank, interp, decim, out_cap=out_n)
                 ff_st, syms, valid, snr = ffsync.ff_psk_demod_block(
                     ff_st, x, order=order, sps=sps, rrc_taps=taps, bank=bank,
-                    out_cap=ff_cap)
+                    out_cap=ff_cap, oqpsk=is_oqpsk)
                 return (fs_st, dc_st, rs_st, ff_st), syms, valid, snr
 
             self._step = jax.jit(fast_step, donate_argnums=0)

@@ -64,5 +64,19 @@ def run_pipeline(pipeline: Pipeline, input_file: str, output_dir: str,
             cur_input = mod.d_output_file
             last_output = mod.d_output_file
 
+    # auto-process products when the last module wrote a dataset (ref
+    # pipeline_run.cpp:172-207: Pipeline::run appends the products processor
+    # whenever dataset.json appears) — composites come out of the single
+    # `pipeline` invocation, no separate `process` command needed
+    dataset = out_dir / "dataset.json"
+    if dataset.exists():
+        from satdump_tpu.products.processor import process_path
+        try:
+            written = process_path(str(dataset))
+            logger.info(f"[{pipeline.id}] products processor: "
+                        f"{len(written)} composites")
+        except Exception as e:  # never fail the pipeline on compositing
+            logger.error(f"[{pipeline.id}] products processing failed: {e}")
+
     event_bus.fire_event(PipelineDoneProcessingEvent(pipeline.id, str(out_dir)))
     return last_output

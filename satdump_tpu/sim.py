@@ -97,6 +97,20 @@ def qpsk_modulate(symbols: np.ndarray, sps: float, rrc_alpha: float = 0.5,
     return shaped[:n_out].astype(np.complex64)
 
 
+def oqpsk_modulate(symbols: np.ndarray, sps: float = 2.0,
+                   rrc_alpha: float = 0.5, rrc_taps: int = 31) -> np.ndarray:
+    """OQPSK: QPSK pulse shaping with the I rail delayed half a symbol, so
+    the receiver's delay-one-imag (delay_one_imag.cpp: imag[i-1]) realigns
+    the rails. Integer sps only (the half-symbol shift must be whole
+    samples at TX)."""
+    assert abs(sps - round(sps)) < 1e-9 and int(round(sps)) % 2 == 0, \
+        "oqpsk_modulate needs an even integer sps"
+    x = qpsk_modulate(symbols, sps, rrc_alpha, rrc_taps)
+    half = int(round(sps)) // 2
+    re = np.concatenate([np.zeros(half, np.float32), x.real[:-half]])
+    return (re + 1j * x.imag).astype(np.complex64)
+
+
 class ChannelModel:
     """AWGN + carrier offset + phase + delay + gain (ref
     channel_model_simple.h — noise/freq-offset impairments)."""

@@ -84,6 +84,35 @@ def test_qpsk_baseband_to_cadu_fast_sync(tmp_path, rng):
     assert matched == len(got), f"{len(got) - matched} corrupted CADUs"
 
 
+@pytest.mark.slow
+def test_oqpsk_baseband_to_cadu_fast_sync(tmp_path, rng):
+    """OQPSK loopback through the feedforward chain (VERDICT r3 #1b: OQPSK
+    on the TPU fast path — delay-one-imag + two-stage V&V in ffsync.py).
+    The decoder's phase/swap hypothesis search absorbs the residual
+    constellation ambiguity, as in the reference OQPSK missions."""
+    samplerate, symbolrate = 200_000.0, 100_000.0   # sps = 2.0 exactly
+    cadus = sim.make_cadus(24, rng)
+    chan_bits = sim.encode_cadu_stream(cadus)
+    syms = sim.bits_to_qpsk_symbols(chan_bits)
+    tx = sim.oqpsk_modulate(syms, sps=2.0)
+    chan = sim.ChannelModel(snr_db=18.0, freq_offset=2e-4, phase=0.6,
+                            gain=0.7, seed=9)
+    bb = chan.apply(tx)
+    bb_path = tmp_path / "test.cf32"
+    write_baseband(bb_path, "cf32", bb)
+
+    pipe = _qpsk_pipeline(symbolrate)
+    pipe.steps[1].parameters["constellation"] = "oqpsk"
+    pipe.steps[2].parameters["constellation"] = "oqpsk"
+    out = run_pipeline(pipe, str(bb_path), str(tmp_path / "out"),
+                       user_params={"samplerate": samplerate,
+                                    "buffer_size": 1 << 17})
+    got = np.fromfile(out, dtype=np.uint8).reshape(-1, 1024)
+    assert len(got) >= 18, f"only {len(got)} CADUs decoded"
+    matched = sum(bool((cadus == g).all(axis=1).any()) for g in got)
+    assert matched == len(got), f"{len(got) - matched} corrupted CADUs"
+
+
 def _synth_apt_audio(nlines=24, audio_rate=50_000.0):
     """Synthesize APT: per-line 39-word sync A + image pattern, words at
     4160 Hz, AM-modulated (index ~0.85) on a 2400 Hz subcarrier."""

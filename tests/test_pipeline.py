@@ -180,3 +180,28 @@ def test_mission_pipeline_breadth():
             if st.module_id:
                 assert module_registry.get_opt(st.module_id) is not None, \
                     (pid, st.module_id)
+
+
+def test_runner_autoprocesses_products(tmp_path, rng):
+    """The offline runner must auto-run the products processor when the
+    last module writes dataset.json (ref pipeline_run.cpp:172-207) —
+    composites appear from one `pipeline` invocation."""
+    from test_metop import _avhrr_packet, _metop_cadus
+    from satdump_tpu.pipeline.pipeline import PipelineStep
+    from satdump_tpu.pipeline.runner import run_pipeline
+
+    lines = rng.integers(0, 1024, (5, 2048, 5), dtype=np.uint16)
+    pkts = [_avhrr_packet(lines[i], ch3a=True, seq=i, ms=166 * i)
+            for i in range(5)]
+    cadu_path = tmp_path / "x.cadu"
+    _metop_cadus(pkts).tofile(cadu_path)
+
+    pipe = Pipeline(id="metop_test", name="t", steps=[
+        PipelineStep("cadu", ""),
+        PipelineStep("products", "metop_instruments", {}),
+    ], parameters={})
+    out = tmp_path / "out"
+    run_pipeline(pipe, str(cadu_path), str(out), start_level="cadu")
+    assert (out / "dataset.json").exists()
+    pngs = list((out / "AVHRR").glob("avhrr_3_*.png"))
+    assert pngs, "runner did not auto-generate composites"
