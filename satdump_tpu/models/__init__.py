@@ -9,3 +9,4 @@ import satdump_tpu.models.meteor  # noqa: F401
 import satdump_tpu.models.noaa_hrpt  # noqa: F401
 import satdump_tpu.models.meteor_hrpt  # noqa: F401
 import satdump_tpu.models.goes_gvar  # noqa: F401
+import satdump_tpu.models.goes_grb  # noqa: F401
