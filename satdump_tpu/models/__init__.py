@@ -10,3 +10,4 @@ import satdump_tpu.models.noaa_hrpt  # noqa: F401
 import satdump_tpu.models.meteor_hrpt  # noqa: F401
 import satdump_tpu.models.goes_gvar  # noqa: F401
 import satdump_tpu.models.goes_grb  # noqa: F401
+import satdump_tpu.models.jpss  # noqa: F401

@@ -64,14 +64,14 @@ static inline uint32_t unmap(uint32_t x, uint32_t m, uint32_t xmax) {
     return x - (m - theta);       /* theta = xmax - x: delta negative */
 }
 
-/* Decode one reference-sample interval.
- * in/in_bytes: coded stream;  out: n_out decoded samples (uint16 always);
- * n: bits per sample (<=16); J: pixels per block; returns 0 ok, <0 error. */
-int rice_decode_rsi(const uint8_t *in, size_t in_bytes, uint16_t *out,
-                    int n_out, int n, int J, int preprocess) {
+/* Decode one reference-sample interval from an open bitreader.
+ * out: n_out decoded samples (uint16 always); n: bits per sample (<=16);
+ * J: samples per block; returns 0 ok, <0 error. */
+static int decode_interval(bitreader *brp, uint16_t *out,
+                           int n_out, int n, int J, int preprocess) {
     if (n < 1 || n > 16 || J < 1 || J > 64 || n_out < 1)
         return -2;
-    bitreader br = {in, in_bytes * 8, 0};
+    bitreader br = *brp;
     int id_len = n <= 8 ? 3 : 4;
     uint32_t uncomp_id = (1u << id_len) - 1;
     uint32_t xmax = (1u << n) - 1;
@@ -171,6 +171,33 @@ int rice_decode_rsi(const uint8_t *in, size_t in_bytes, uint16_t *out,
         }
         idx += emit;
         block_i++;
+    }
+    *brp = br;
+    return 0;
+}
+
+/* Decode one reference-sample interval (szip-RAW single-RSI surface, the
+ * GOES HRIT scanline profile). */
+int rice_decode_rsi(const uint8_t *in, size_t in_bytes, uint16_t *out,
+                    int n_out, int n, int J, int preprocess) {
+    bitreader br = {in, in_bytes * 8, 0};
+    return decode_interval(&br, out, n_out, n, J, preprocess);
+}
+
+/* Decode a multi-interval stream: a new reference sample every rsi blocks
+ * (libaec semantics with AEC_DATA_PREPROCESS; bit-continuous between
+ * intervals — the JPSS VIIRS profile: n=15, J=8, rsi=128). */
+int rice_decode_stream(const uint8_t *in, size_t in_bytes, uint16_t *out,
+                       int n_out, int n, int J, int rsi, int preprocess) {
+    if (rsi < 1)
+        return -2;
+    bitreader br = {in, in_bytes * 8, 0};
+    int per = rsi * J;
+    for (int off = 0; off < n_out; off += per) {
+        int cnt = n_out - off < per ? n_out - off : per;
+        int rc = decode_interval(&br, out + off, cnt, n, J, preprocess);
+        if (rc < 0)
+            return rc;
     }
     return 0;
 }

@@ -199,11 +199,16 @@ class CaduChain:
             (r,), (self.F * self.L,))[:: self.L]          # static stride
         fdist = jnp.where(inverted, 32 - fdist, fdist)
 
-        # write the nominal ASM over the header (ref reset_frame), pack bytes
+        # write the nominal ASM over the header (ref reset_frame), pack bytes.
+        # NOTE: packed via 8 strided slices, NOT reshape(F,bytes,8)*w8+sum —
+        # that reduce-of-minor-reshape formulation wedges the axon remote
+        # compiler (>590 s at (128,1024,8) int32; the slice form compiles
+        # in <1 s and runs identically).
         pat = jnp.asarray(self.pattern)
         fr = fr.at[:, :32].set(pat[None, :])
-        w8 = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))
-        fbytes = jnp.sum(fr.reshape(self.F, self.cadu_bytes, 8) * w8, axis=-1)
+        fbytes = jnp.zeros((self.F, self.cadu_bytes), jnp.int32)
+        for k in range(8):
+            fbytes = fbytes + (fr[:, k::8] << (7 - k))
 
         rs_errs = jnp.zeros((self.F, max(self.rs_i, 1)), jnp.int32)
         if self.derand and not self.derand_after_rs:

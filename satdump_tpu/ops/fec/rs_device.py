@@ -78,10 +78,13 @@ def _bitmatmul(bits: jnp.ndarray, M: np.ndarray) -> jnp.ndarray:
 
 
 def _pack_bits_gf(bits: jnp.ndarray, nbytes: int) -> jnp.ndarray:
-    """(B, nbytes*8) 0/1 -> (B, nbytes) int32, MSB first."""
-    w = (1 << _MSB_FIRST).astype(np.int32)
-    return jnp.sum(bits.reshape(bits.shape[0], nbytes, 8)
-                   * jnp.asarray(w), axis=-1)
+    """(B, nbytes*8) 0/1 -> (B, nbytes) int32, MSB first. Strided slices,
+    not reshape(...,8)*w+sum — the reduce-of-minor-reshape form can wedge
+    the axon compiler (see cadu_chain packing note)."""
+    out = jnp.zeros((bits.shape[0], nbytes), jnp.int32)
+    for k in range(8):
+        out = out + (bits[:, k::8] << (7 - k))
+    return out
 
 
 class RSDevice:

@@ -32,6 +32,11 @@ def _rice():
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        _lib.rice_decode_stream.restype = ctypes.c_int
+        _lib.rice_decode_stream.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     return _lib
 
 
@@ -48,6 +53,22 @@ def rice_decode(data: bytes, pixels: int, bits_per_pixel: int = 8,
     if r != 0:
         return None
     return out.astype(np.uint8) if bits_per_pixel <= 8 else out
+
+
+def rice_decode_stream(data: bytes, pixels: int, bits_per_pixel: int = 15,
+                       pixels_per_block: int = 8, rsi: int = 128,
+                       preprocess: bool = True) -> Optional[np.ndarray]:
+    """Decode a multi-interval stream (new reference every rsi blocks) —
+    the libaec profile VIIRS uses (channel_reader.cpp:16-19: n=15, J=8,
+    rsi=128, MSB|PREPROCESS). Returns uint16 samples or None."""
+    out = np.zeros(pixels, np.uint16)
+    r = _rice().rice_decode_stream(
+        bytes(data), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), pixels,
+        bits_per_pixel, pixels_per_block, rsi, int(preprocess))
+    if r != 0:
+        return None
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -88,9 +109,30 @@ def _map_samples(x: np.ndarray, xmax: int) -> np.ndarray:
 
 
 def rice_encode(samples: np.ndarray, bits_per_pixel: int = 8,
-                pixels_per_block: int = 16, preprocess: bool = True) -> bytes:
-    """Encode one scanline; per-block chooses the cheapest of zero-block
-    (run-aware), split-k, uncompressed, second-extension."""
+                pixels_per_block: int = 16, preprocess: bool = True,
+                rsi: Optional[int] = None) -> bytes:
+    """Encode samples; per-block chooses the cheapest of zero-block
+    (run-aware), split-k, uncompressed, second-extension. With `rsi`, a new
+    reference-sample interval starts every rsi blocks (bit-continuous, as
+    libaec emits — the multi-interval VIIRS profile)."""
+    if rsi is not None:
+        J = pixels_per_block
+        per = rsi * J
+        x = np.asarray(samples, np.int64)
+        w = _BitWriter()
+        for off in range(0, len(x), per):
+            _encode_interval(w, x[off: off + per], bits_per_pixel, J,
+                             preprocess)
+        return w.tobytes()
+    w = _BitWriter()
+    _encode_interval(w, np.asarray(samples, np.int64), bits_per_pixel,
+                     pixels_per_block, preprocess)
+    return w.tobytes()
+
+
+def _encode_interval(w: "_BitWriter", samples: np.ndarray,
+                     bits_per_pixel: int, pixels_per_block: int,
+                     preprocess: bool) -> None:
     J = pixels_per_block
     n = bits_per_pixel
     xmax = (1 << n) - 1
@@ -102,7 +144,6 @@ def rice_encode(samples: np.ndarray, bits_per_pixel: int = 8,
     m = _map_samples(x, xmax) if preprocess else x.copy()
     id_len = 3 if n <= 8 else 4
     uncomp_id = (1 << id_len) - 1
-    w = _BitWriter()
     nblocks = len(x) // J
     bi = 0
     while bi < nblocks:
@@ -160,4 +201,3 @@ def rice_encode(samples: np.ndarray, bits_per_pixel: int = 8,
             for v in arg:
                 w.fs(int(v))
         bi += 1
-    return w.tobytes()
