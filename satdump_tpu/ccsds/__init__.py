@@ -224,3 +224,16 @@ def parse_ccsds_time(pkt: CCSDSPacket, offset_s: int = 0,
 # epoch helper: TAI/day-segmented times commonly offset from 1958 or 2000
 EPOCH_1958_TO_UNIX = -378691200  # seconds from 1958-01-01 to 1970-01-01
 EPOCH_2000_TO_UNIX = 946684800   # seconds from 1970-01-01 to 2000-01-01
+
+
+def crc_check_vertical_parity(pkt: CCSDSPacket) -> bool:
+    """16-bit XOR vertical parity over header+payload vs the trailing word
+    (ref ccsds.cpp:135-150, used by MetOp ASCAT/IASI timestamp gating)."""
+    p = bytes(pkt.payload)
+    if len(p) < 2:
+        return False
+    sent = p[-2] << 8 | p[-1]
+    buf = bytes(pkt.header.raw[:6]) + p[:-2]
+    words = np.frombuffer(buf[: len(buf) // 2 * 2], ">u2")
+    checksum = int(np.bitwise_xor.reduce(words)) if len(words) else 0
+    return checksum == sent

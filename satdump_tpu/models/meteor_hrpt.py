@@ -130,6 +130,62 @@ class BISMReader:
         return self.clock_times[-1] - (self.clock_times[-1] % 86400)
 
 
+class MTVZAReader:
+    """MTVZA-GY microwave sounder (mtvza_reader.cpp): 248-byte frames, scan
+    counters 2..26, each frame carrying 8 of 200 scan positions for 30
+    channels (5 low-res + 2 full-res + 23 medium-res sample layouts).
+    `endian_mode=True` handles the byte-swapped M2-3/M2-4 format."""
+
+    def __init__(self, endian_mode: bool = False):
+        self.endian = endian_mode
+        self.lines = 0
+        self.timestamps: List[float] = []
+        self.latest_msumr_timestamp = -1.0
+        self._rows: List[np.ndarray] = [np.zeros((30, 100), np.uint16)]
+
+    def _parse(self, data: np.ndarray, ch_start: int, offset: int,
+               ch_cnt: int, nsamples: int, counter: int) -> None:
+        row = self._rows[-1]
+        for ch in range(ch_cnt):
+            for i in range(4):
+                pos = ch * nsamples + offset
+                if nsamples == 2:
+                    pos += i // 2
+                elif nsamples == 4:
+                    pos += i
+                hi, lo = (0, 1) if self.endian else (1, 0)
+                v1 = (int(data[8 + pos * 2 + hi]) << 8
+                      | int(data[8 + pos * 2 + lo]))
+                v2 = (int(data[128 + pos * 2 + hi]) << 8
+                      | int(data[128 + pos * 2 + lo]))
+                col = counter * 8
+                if col + i < 100:
+                    row[ch_start + ch, col + i] = (v1 - 32768) & 0xFFFF
+                if col + 4 + i < 100:
+                    row[ch_start + ch, col + 4 + i] = (v2 - 32768) & 0xFFFF
+
+    def work(self, data: np.ndarray) -> None:
+        data = np.asarray(data, np.uint8)
+        marker = int(data[5] if self.endian else data[4])
+        if marker != 255:
+            return
+        counter = int(data[4] if self.endian else data[5])
+        if counter > 26 or counter < 2:
+            return
+        self._parse(data, 0, 0, 5, 1, counter - 2)
+        self._parse(data, 5, 5, 2, 4, counter - 2)
+        self._parse(data, 7, 13, 23, 2, counter - 2)
+        if counter == 26:
+            self.timestamps.append(self.latest_msumr_timestamp)
+            self.lines += 1
+            self._rows.append(np.zeros((30, 100), np.uint16))
+
+    def get_channel(self, ch: int) -> np.ndarray:
+        if self.lines == 0:
+            return np.zeros((0, 100), np.uint16)
+        return np.stack([r[ch] for r in self._rows[: self.lines]])
+
+
 @register_module
 class MeteorInstrumentsModule(ProcessingModule):
     id = "meteor_instruments"
@@ -142,8 +198,12 @@ class MeteorInstrumentsModule(ProcessingModule):
 
         msumr_def = SimpleDeframer(MSUMR_SYNC, 64, MSUMR_FRAME * 8, 10)
         bism_def = SimpleDeframer(BISM_SYNC, 32, BISM_FRAME * 8, 0)
+        mtvza_def = SimpleDeframer(MTVZA_SYNC, 32, MTVZA_FRAME * 8, 0)
+        mtvza_def2 = SimpleDeframer(0x38FB456A, 32, MTVZA_FRAME * 8, 0)
         msumr = MSUMRHRPTReader()
         bism = BISMReader(year_ov)
+        mtvza = MTVZAReader(endian_mode=False)
+        mtvza2 = MTVZAReader(endian_mode=True)
         timestamps: List[float] = []
         ids: List[int] = []
 
@@ -165,8 +225,17 @@ class MeteorInstrumentsModule(ProcessingModule):
                 else:
                     ts = -1.0
                 timestamps.append(ts)
+                mtvza.latest_msumr_timestamp = ts
+                mtvza2.latest_msumr_timestamp = ts
                 ids.append(int(frm[12]) >> 4)
                 msumr.work(frm)
+            mtvza_data = np.concatenate(
+                [cadu[o: o + ln] for o, ln in _MTVZA_SLICES])
+            mtvza_bits = np.unpackbits(mtvza_data)
+            for frm in mtvza_def.work(mtvza_bits):
+                mtvza.work(frm)
+            for frm in mtvza_def2.work(mtvza_bits):
+                mtvza2.work(frm)
 
         serial = int(np.bincount(ids).argmax()) if ids else -1
         sat_name = SAT_NAMES.get(serial, "Unknown Meteor")
@@ -188,5 +257,23 @@ class MeteorInstrumentsModule(ProcessingModule):
             pdir = str(Path(directory) / "MSU-MR")
             prod.save(pdir)
             dataset.products_list.append("MSU-MR")
+
+        # MTVZA: keep whichever endianness decoded more lines
+        # (module_meteor_instruments.cpp:276)
+        mreader = mtvza2 if mtvza2.lines > mtvza.lines else mtvza
+        if mreader.lines:
+            mp = ImageProduct()
+            mp.instrument_name = "mtvza"
+            mp.set_product_timestamp(dataset.timestamp)
+            mp.set_product_source(sat_name)
+            for ch in range(30):
+                mp.add_channel(mreader.get_channel(ch), str(ch + 1),
+                               bit_depth=16)
+            mp.contents["timestamps"] = mreader.timestamps
+            mp.contents["norad"] = NORADS.get(serial, 0)
+            mp.save(str(Path(directory) / "MTVZA"))
+            dataset.products_list.append("MTVZA")
+
         dataset.save(directory)
-        self.stats = {"msumr_lines": msumr.lines, "satellite": sat_name}
+        self.stats = {"msumr_lines": msumr.lines, "mtvza_lines": mreader.lines,
+                      "satellite": sat_name}

@@ -25,7 +25,7 @@ from satdump_tpu.products.calibration import (ImageCalibrator,
                                               calibrator_registry)
 from satdump_tpu.products.image_product import ImageProduct
 from satdump_tpu.products.product import DataSet
-from satdump_tpu.utils.repack import repack_10bit
+from satdump_tpu.utils.repack import repack_10bit, repack_12bit
 
 METOP_SCIDS = {12: ("MetOp-A", 29499), 11: ("MetOp-B", 38771),
                13: ("MetOp-C", 43689)}
@@ -176,6 +176,112 @@ class AVHRRReader:
         return chans
 
 
+class IASIIMGReader:
+    """IASI integrated imager (iasi_imaging_reader.cpp): 64x64-px IFOVs at
+    12 bits, 36 per scan (first 6 are calibration views), counts normalized
+    per scan against the cold (views 0-1) / warm (views 3-4) references."""
+
+    def __init__(self):
+        self.lines = 0
+        self._scans: List[np.ndarray] = []   # (64, 36*64) uint16 per scan
+        self.timestamps: List[float] = []
+        self._cur = np.zeros((64, 36 * 64), np.uint16)
+        self._cur_ts: List[float] = []
+
+    def work(self, pkt: CCSDSPacket) -> None:
+        p = bytes(pkt.payload)
+        if len(p) < 6196:
+            return
+        counter = p[16]
+        if 0 < counter <= 36:
+            words = repack_12bit(np.frombuffer(p[50: 50 + 6144], np.uint8))
+            blk = words[: 64 * 64].reshape(64, 64)   # blk[y, i]
+            # ir_channel[(line i), mirrored ifov column] = w[y, i] << 4
+            x0 = (36 * 64 - 1) - ((counter - 1) * 64 + 63)
+            self._cur[:, x0: x0 + 64] = (blk.T[:, ::-1] << 4)
+            if counter <= 30:
+                self._cur_ts.append(parse_ccsds_time(pkt, 10957 * 86400))
+        if counter == 36:
+            self._scans.append(self._cur)
+            self.timestamps.append(np.median(self._cur_ts)
+                                   if self._cur_ts else -1.0)
+            self._cur = np.zeros((64, 36 * 64), np.uint16)
+            self._cur_ts = []
+            self.lines += 1
+
+    def get_ir_channel(self) -> np.ndarray:
+        """Normalize each scan against its cold/warm views and crop the 6
+        calibration IFOVs (getIRChannel)."""
+        if not self._scans:
+            return np.zeros((0, 30 * 64), np.uint16)
+        out = []
+        for scan in self._scans:
+            s = scan.astype(np.float64)
+            cold = (s[:, 0 * 64: 1 * 64] + s[:, 1 * 64: 2 * 64]) / 2.0
+            warm = (s[:, 3 * 64: 4 * 64] + s[:, 4 * 64: 5 * 64]) / 2.0
+            span = warm - cold
+            span[span == 0] = 1.0
+            ref_lo = cold[0, 31]
+            ref_hi = warm[0, 31]
+            img = s.copy()
+            for x2 in range(36):
+                seg = s[:, x2 * 64: (x2 + 1) * 64]
+                norm = (seg - cold) / span
+                v = np.round(norm * (ref_hi - ref_lo) + ref_lo)
+                v[seg == 0] = 0
+                img[:, x2 * 64: (x2 + 1) * 64] = np.clip(v, 0, 65535)
+            out.append(img[:, 6 * 64:].astype(np.uint16))
+        return np.concatenate(out, axis=0)
+
+
+def _ieee_halfish_to_float(samples: np.ndarray) -> np.ndarray:
+    """ASCAT 16-bit float format (ascat_reader.h parse_uint_to_float):
+    1 sign, 8 exponent, 7 mantissa."""
+    s = (samples >> 15) & 1
+    e = (samples >> 7) & 0xFF
+    f = samples & 0x7F
+    sign = np.where(s == 1, -1.0, 1.0)
+    val = np.where(e == 255, 0.0,
+                   np.where(e == 0,
+                            np.where(f == 0, 0.0,
+                                     sign * (2.0 ** -126) * f / 128.0),
+                            sign * 2.0 ** (e.astype(np.float64) - 127)
+                            * (f / 128.0 + 1.0)))
+    return val
+
+
+class ASCATReader:
+    """ASCAT scatterometer (ascat_reader.cpp): 6 beams (APID 208-213 echo,
+    224-229 noise), 256 samples/line stored both raw (image) and as floats
+    (backscatter)."""
+
+    def __init__(self):
+        self.lines = [0] * 6
+        self._img: List[List[np.ndarray]] = [[] for _ in range(6)]
+        self._flt: List[List[np.ndarray]] = [[] for _ in range(6)]
+        self.timestamps: List[List[float]] = [[] for _ in range(6)]
+
+    def work(self, pkt: CCSDSPacket) -> None:
+        p = bytes(pkt.payload)
+        if len(p) < 654:
+            return
+        ch = pkt.header.apid - 208
+        if 0 <= ch < 6:
+            samples = np.frombuffer(p[140: 140 + 512], ">u2").copy()
+            self._img[ch].append(samples)
+            self._flt[ch].append(_ieee_halfish_to_float(samples))
+            from satdump_tpu.ccsds import crc_check_vertical_parity
+            self.timestamps[ch].append(
+                parse_ccsds_time(pkt, 10957 * 86400)
+                if crc_check_vertical_parity(pkt) else -1.0)
+            self.lines[ch] += 1
+
+    def get_channel_img(self, ch: int) -> np.ndarray:
+        if not self._img[ch]:
+            return np.zeros((0, 256), np.uint16)
+        return np.stack(self._img[ch])
+
+
 @register_module
 class MetOpInstrumentsDecoderModule(ProcessingModule):
     """cadu -> instrument products (ref module_metop_instruments.cpp)."""
@@ -185,8 +291,12 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
     def process(self):
         avhrr = AVHRRReader()
         mhs = MHSReader()
+        iasi_img = IASIIMGReader()
+        ascat = ASCATReader()
         demux_vcid9 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
+        demux_vcid10 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         demux_vcid12 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
+        demux_vcid15 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         scids: List[int] = []
 
         cadus = np.fromfile(self.d_input_file, np.uint8)
@@ -199,10 +309,17 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
                 for pkt in demux_vcid9.work(bytes(cadu)):
                     if pkt.header.apid in (103, 104):
                         avhrr.work(pkt)
+            elif vcdu.vcid == 10:  # IASI
+                for pkt in demux_vcid10.work(bytes(cadu)):
+                    if pkt.header.apid == 150:
+                        iasi_img.work(pkt)
             elif vcdu.vcid == 12:  # MHS
                 for pkt in demux_vcid12.work(bytes(cadu)):
                     if pkt.header.apid == 34:
                         mhs.work_metop(pkt)
+            elif vcdu.vcid == 15:  # ASCAT
+                for pkt in demux_vcid15.work(bytes(cadu)):
+                    ascat.work(pkt)
 
         scid = max(set(scids), key=scids.count) if scids else -1
         sat_name, norad = METOP_SCIDS.get(scid, ("Unknown MetOp", 0))
@@ -255,6 +372,36 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             pm.save(str(out_dir / "MHS"))
             ds.products_list.append("MHS")
 
+        if iasi_img.lines:
+            pi = ImageProduct()
+            pi.instrument_name = "iasi_img"
+            img = iasi_img.get_ir_channel()
+            # bowtie per-IFOV scan (module_metop_instruments.cpp:357)
+            from satdump_tpu.image.geometry import correct_generic_bowtie
+            img = correct_generic_bowtie(img, 64, 1.0 / 2.2, 1.0 - 1.0 / 2.2)
+            pi.add_channel(img, "1", bit_depth=16)
+            pi.set_proj_cfg_tle_timestamps(
+                {"type": "normal_per_ifov", "scan_angle": 97.4,
+                 "image_width": 30 * 64, "ifov_count": 30,
+                 "ifov_x_size": 64, "ifov_y_size": 64, "norad": norad},
+                {"name": sat_name, "norad": norad}, iasi_img.timestamps)
+            pi.save(str(out_dir / "IASI-IMG"))
+            ds.products_list.append("IASI-IMG")
+
+        if any(ascat.lines):
+            for i in range(6):
+                if not ascat.lines[i]:
+                    continue
+                pa = ImageProduct()
+                pa.instrument_name = "ascat"
+                pa.add_channel(ascat.get_channel_img(i), "1", bit_depth=16)
+                pa.contents["timestamps"] = ascat.timestamps[i]
+                pa.contents["beam"] = i + 1
+                pa.save(str(out_dir / "ASCAT" / str(i + 1)))
+                ds.products_list.append(f"ASCAT/{i + 1}")
+
         self.d_output_file = ds.save(str(out_dir))
         self.stats = {"avhrr_lines": avhrr.lines, "mhs_lines": mhs.lines,
+                      "iasi_img_lines": iasi_img.lines,
+                      "ascat_lines": list(ascat.lines),
                       "satellite": sat_name}

@@ -103,3 +103,96 @@ def test_meteor_instruments_hrpt(tmp_path, rng):
     day = base - (base % 86400)
     assert abs(ts[0] - (day + 10 * 3600 + 30 * 60 + 0 + 128 / 255 - 10800)) \
         < 1e-6
+
+
+def mk_mtvza_frame(rng, counter):
+    """One MTVZA 248-byte frame (mtvza_reader.cpp layout) with random
+    sample words; returns (frame, words8, words128) for expectation."""
+    frame = np.zeros(mh.MTVZA_FRAME, np.uint8)
+    frame[:4] = np.frombuffer(mh.MTVZA_SYNC.to_bytes(4, "big"), np.uint8)
+    frame[4] = 255
+    frame[5] = counter
+    w8 = rng.integers(0, 65536, 60, dtype=np.uint32)
+    w128 = rng.integers(0, 65536, 60, dtype=np.uint32)
+    # default (non-endian_mode) format is LITTLE-endian sample words
+    # (mtvza_reader.cpp:33: high byte at +1 when !endian_mode)
+    for p in range(60):
+        frame[8 + p * 2] = w8[p] & 0xFF
+        frame[8 + p * 2 + 1] = w8[p] >> 8
+        frame[128 + p * 2] = w128[p] & 0xFF
+        frame[128 + p * 2 + 1] = w128[p] >> 8
+    return frame, w8, w128
+
+
+def test_mtvza_reader(rng):
+    r = mh.MTVZAReader()
+    r.latest_msumr_timestamp = 1234.5
+    words = {}
+    for counter in range(2, 27):
+        frame, w8, w128 = mk_mtvza_frame(rng, counter)
+        words[counter] = (w8, w128)
+        r.work(frame)
+    assert r.lines == 1
+    assert r.timestamps == [1234.5]
+    # full-res channels 5,6: pos = 5 + ch*4 + i, distinct per i
+    for ch in (5, 6):
+        got = r.get_channel(ch)[0]
+        for counter in range(2, 27):
+            w8, w128 = words[counter]
+            col = (counter - 2) * 8
+            for i in range(4):
+                pos = 5 + (ch - 5) * 4 + i
+                if col + i < 100:
+                    assert got[col + i] == (int(w8[pos]) - 32768) & 0xFFFF
+                if col + 4 + i < 100:
+                    assert got[col + 4 + i] == \
+                        (int(w128[pos]) - 32768) & 0xFFFF
+    # low-res channel 0: same pos repeated
+    got = r.get_channel(0)[0]
+    w8, _ = words[2]
+    assert (got[:4] == (int(w8[0]) - 32768) & 0xFFFF).all()
+
+
+def test_meteor_instruments_mtvza_product(tmp_path, rng):
+    """MTVZA frames interleaved into CADUs -> MTVZA product saved."""
+    day_clock = 5000 * 86400 + 12 * 3600
+    frames, _ = zip(*[mk_msumr_frame(rng, hms=(10, 30, i), serial=3)
+                      for i in range(2)])
+    mt_frames = [mk_mtvza_frame(rng, c)[0] for c in range(2, 27)] * 2
+    mtvza_stream = np.concatenate(mt_frames)
+    msumr_stream = np.concatenate(frames)
+    bism_stream = np.concatenate([mk_bism_frame(day_clock)] * 4)
+
+    per_m = sum(n for _, n in mh._MSUMR_SLICES)
+    per_b = sum(n for _, n in mh._BISM_SLICES)
+    per_t = sum(n for _, n in mh._MTVZA_SLICES)
+    n = max(-(-len(msumr_stream) // per_m), -(-len(bism_stream) // per_b),
+            -(-len(mtvza_stream) // per_t))
+    msumr_stream = np.concatenate(
+        [msumr_stream, np.zeros(n * per_m - len(msumr_stream), np.uint8)])
+    bism_stream = np.concatenate(
+        [bism_stream, np.zeros(n * per_b - len(bism_stream), np.uint8)])
+    mtvza_stream = np.concatenate(
+        [mtvza_stream, np.zeros(n * per_t - len(mtvza_stream), np.uint8)])
+    cadus = np.zeros((n, mh.CADU_SIZE), np.uint8)
+    cadus[:, 0:4] = [0x1A, 0xCF, 0xFC, 0x1D]
+    mp = bp = tp = 0
+    for i in range(n):
+        for off, ln in mh._MSUMR_SLICES:
+            cadus[i, off: off + ln] = msumr_stream[mp: mp + ln]
+            mp += ln
+        for off, ln in mh._BISM_SLICES:
+            cadus[i, off: off + ln] = bism_stream[bp: bp + ln]
+            bp += ln
+        for off, ln in mh._MTVZA_SLICES:
+            cadus[i, off: off + ln] = mtvza_stream[tp: tp + ln]
+            tp += ln
+    p = tmp_path / "m.cadu"
+    cadus.tofile(p)
+    mod = mh.MeteorInstrumentsModule(str(p), str(tmp_path / "out" / "x"),
+                                     {"year_override": 2024})
+    mod.process()
+    assert mod.stats["mtvza_lines"] == 2
+    prod = load_product(str(tmp_path / "out" / "MTVZA"))
+    assert len(prod.images) == 30
+    assert prod.images[0].image.shape == (2, 100)

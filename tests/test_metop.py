@@ -219,3 +219,80 @@ def test_mhs_reader_and_module(tmp_path, rng):
     from satdump_tpu.products.product import load_product
     p = load_product(str(tmp_path / "MHS"))
     assert np.array_equal(p.get_channel("3").image, lines[:, :, 2])
+
+
+def _iasi_packet(blk64: np.ndarray, counter: int, day=20000, ms=0) -> CCSDSPacket:
+    """IASI imaging packet: CDS time + counter at [16] + 12-bit 64x64 block
+    at [50] (iasi_imaging_reader.cpp layout; blk64[y, i] word order)."""
+    payload = bytearray(6196)
+    payload[0:8] = bytes([day >> 8, day & 0xFF, (ms >> 24) & 0xFF,
+                          (ms >> 16) & 0xFF, (ms >> 8) & 0xFF, ms & 0xFF,
+                          0, 0])
+    payload[16] = counter
+    packed = pack_nbits_to_bytes(blk64.reshape(-1).astype(np.uint16), 12)
+    payload[50: 50 + 6144] = bytes(packed[:6144])
+    h = CCSDSHeader(apid=150, packet_sequence_count=counter,
+                    packet_length=len(payload) - 1)
+    return CCSDSPacket(header=h, payload=payload)
+
+
+def test_iasi_img_reader(rng):
+    """Uniform cold/warm views make the scan normalization an identity:
+    output equals input, calibration IFOVs cropped."""
+    from satdump_tpu.models.metop import IASIIMGReader
+    r = IASIIMGReader()
+    blocks = {}
+    # the image is counter-mirrored, so the calibration views at image
+    # columns 0-5 correspond to the LAST counters (36,35 cold; 33,32 warm)
+    for counter in range(1, 37):
+        if counter in (36, 35):
+            blk = np.full((64, 64), 100, np.uint16)      # cold views
+        elif counter in (33, 32):
+            blk = np.full((64, 64), 900, np.uint16)      # warm views
+        else:
+            blk = rng.integers(120, 880, (64, 64)).astype(np.uint16)
+        blocks[counter] = blk
+        r.work(_iasi_packet(blk, counter))
+    assert r.lines == 1
+    img = r.get_ir_channel()
+    assert img.shape == (64, 30 * 64)
+    # view v (1..30): image columns (after cropping the 6 calibration
+    # views) start at 36*64 - 64*v - 384; row i col 63-y holds blk[y,i]<<4
+    for v in (1, 10, 30):
+        blk = blocks[v]
+        x0 = 36 * 64 - 64 * v - 384
+        seg = img[:, x0: x0 + 64]
+        np.testing.assert_array_equal(seg, (blk.T[:, ::-1].astype(np.uint32)
+                                            << 4).astype(np.uint16))
+
+
+def _ascat_packet(samples: np.ndarray, apid: int, day=20000, ms=0) -> CCSDSPacket:
+    payload = bytearray(654)
+    payload[0:8] = bytes([day >> 8, day & 0xFF, (ms >> 24) & 0xFF,
+                          (ms >> 16) & 0xFF, (ms >> 8) & 0xFF, ms & 0xFF,
+                          0, 0])
+    payload[140: 140 + 512] = samples.astype(">u2").tobytes()
+    h = CCSDSHeader(apid=apid, packet_length=len(payload) - 1)
+    h.raw = h.encode()
+    # make the vertical parity valid so timestamps are accepted
+    buf = h.raw + bytes(payload[:-2])
+    words = np.frombuffer(buf[: len(buf) // 2 * 2], ">u2")
+    ck = int(np.bitwise_xor.reduce(words))
+    payload[-2] = ck >> 8
+    payload[-1] = ck & 0xFF
+    return CCSDSPacket(header=h, payload=payload)
+
+
+def test_ascat_reader(rng):
+    from satdump_tpu.models.metop import ASCATReader, _ieee_halfish_to_float
+    r = ASCATReader()
+    lines = rng.integers(0, 65536, (3, 256), dtype=np.uint32).astype(np.uint16)
+    for i in range(3):
+        r.work(_ascat_packet(lines[i], 208 + 2))   # beam 3
+    assert r.lines[2] == 3
+    np.testing.assert_array_equal(r.get_channel_img(2), lines)
+    assert all(t > 0 for t in r.timestamps[2])
+    # float format spot checks (ascat_reader.h parse_uint_to_float)
+    assert _ieee_halfish_to_float(np.array([0x3F80], np.uint16))[0] == 1.0
+    assert _ieee_halfish_to_float(np.array([0xBF80], np.uint16))[0] == -1.0
+    assert _ieee_halfish_to_float(np.array([0x7F80], np.uint16))[0] == 0.0
