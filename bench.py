@@ -1,10 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark: feedforward QPSK baseband->bits throughput on one chip.
+"""Benchmark: feedforward QPSK baseband->CADU throughput on one chip.
 
-Measures the flagship compute path (the chain behind the MetOp AHRPT /
-METEOR LRPT configs): AGC + RRC matched filter (overlap-save FFT) + FFT CFO
-estimate + V&V phase + O&M timing + polyphase symbol pick + soft quantize +
-lane-parallel Viterbi k=7 r=1/2.
+Measures the FULL flagship pipeline (the chain behind the MetOp AHRPT /
+METEOR LRPT configs), every stage device-resident in one jitted program:
+AGC + RRC matched filter (overlap-save FFT) + FFT CFO estimate + V&V phase
++ O&M timing + polyphase symbol pick + soft quantize + lane-parallel
+Viterbi k=7 r=1/2 + ASM deframing (all-offsets correlation) + CCSDS
+derandomize + batched device RS(255,223) x4 + CADU byte packing — i.e.
+baseband in, packed CADU words out (BASELINE.md: "Msamp/s/chip
+baseband->CADU (QPSK)"; previous rounds measured baseband->bits only).
 
 Methodology (shaped by the axon tunnel's quirks — see utils/xfer.py):
 the whole measurement is ON-DEVICE: a single jitted `lax.scan` over K
@@ -32,36 +36,58 @@ def _build(n, sps, K):
     import jax.numpy as jnp
 
     from satdump_tpu.ops import ffsync
-    from satdump_tpu.ops.fec import convolutional as cc
+    from satdump_tpu.ops.fec.cadu_chain import SEG, CaduChain
     from satdump_tpu.ops.firdes import mm_interpolator_bank, root_raised_cosine
 
     rrc = root_raised_cosine(1.0, sps, 1.0, 0.5, 31)  # host np const
     bank = mm_interpolator_bank()
     cap = int(np.ceil(n / (sps * 0.99))) + 2
-    nbits = (cap // 1024) * 1024
+    chunk_pairs = (cap // 2) // SEG * SEG      # whole IQ pairs, SEG-multiple
+
+    chain = CaduChain(cadu_bits=8192, chunk_pairs=chunk_pairs, rs_i=4)
+    rot = jnp.asarray([1.0, 0.0], jnp.float32)
+    swap = jnp.float32(0.0)
 
     def block_step(state, x):
-        state, syms, valid, snr = ffsync.ff_psk_demod_block(
-            state, x, order=4, sps=sps, rrc_taps=rrc, bank=bank, out_cap=cap)
+        ff_st, bit_carry, soft_ctx, nrzm_carry = state
+        ff_st, syms, valid, snr = ffsync.ff_psk_demod_block(
+            ff_st, x, order=4, sps=sps, rrc_taps=rrc, bank=bank, out_cap=cap)
         soft = jnp.stack([jnp.real(syms), jnp.imag(syms)], axis=-1)
         soft = jnp.clip(soft * 100.0, -127, 127)
-        u8 = (soft + 128.0).reshape(-1, 2)[: nbits]
-        bits = cc.viterbi_decode_tiled_re(u8, seg=1024, ovl=128)
-        return state, jnp.sum(bits.astype(jnp.float32))
+        pairs = soft.reshape(-1, 2)[: chunk_pairs]        # (pairs, 2) f32
+        n_pairs = jnp.minimum(jnp.sum(valid.astype(jnp.int32)) // 2,
+                              chunk_pairs).astype(jnp.int32)
+        (words, fdist, rs_errs, r, inv, nhits, bit_carry, soft_ctx,
+         nrzm_carry, ber) = chain._trace(
+            pairs, soft_ctx, rot, swap, bit_carry, nrzm_carry, n_pairs)
+        # data dependency on every stage's output (defeats DCE)
+        dep = (jnp.sum(words.astype(jnp.float32))
+               + jnp.sum(rs_errs.astype(jnp.float32))
+               + jnp.sum(fdist.astype(jnp.float32)) + ber)
+        return (ff_st, bit_carry, soft_ctx, nrzm_carry), dep
 
-    def run(xs):  # xs: (K, n) complex64
-        st = ffsync.ff_clock_init(rrc_ntaps=31)
-        st, sums = jax.lax.scan(block_step, st, xs)
-        # Real data dependency on every block's Viterbi output: a *0.0 here
-        # would let XLA dead-code-eliminate the entire demod+FEC chain.
-        return st.nco_phase + jnp.sum(sums)
+    def run(xs, nblocks):  # xs: (K, n) complex64; nblocks traced scalar
+        st0 = (ffsync.ff_clock_init(rrc_ntaps=31),
+               jnp.zeros((chain.carry_bits,), jnp.int32),
+               jnp.zeros((128, 2), jnp.float32),
+               jnp.zeros((), jnp.int32))
+
+        def body(i, carry):
+            st, acc = carry
+            x = jax.lax.dynamic_index_in_dim(xs, i, keepdims=False)
+            st, dep = block_step(st, x)
+            return (st, acc + dep)
+
+        # dynamic trip count: ONE compiled program serves both timing
+        # points (a second K-specialized compile would double the axon
+        # remote-compile cost, which already dominates bench wall time)
+        st, acc = jax.lax.fori_loop(0, nblocks, body, (st0, jnp.float32(0)))
+        return st[0].nco_phase + acc
 
     return jax.jit(run)
 
 
 def main():
-    import jax
-
     from satdump_tpu.utils import xfer
 
     n = 1 << 21
@@ -70,33 +96,31 @@ def main():
     rng = np.random.default_rng(7)
     xs = ((rng.standard_normal((K2, n)) + 1j * rng.standard_normal((K2, n)))
           * 0.5).astype(np.complex64)
-    d1 = xfer.put(xs[:K1])
     d2 = xfer.put(xs)
 
-    run1 = _build(n, sps, K1)
-    run2 = _build(n, sps, K2)
+    run = _build(n, sps, K2)
 
     # The axon tunnel's block_until_ready does NOT synchronize (dispatch is
     # fire-and-forget; only a d2h fetch joins the stream — tools/axon_probe.py
     # matmul_time: BUR 0.1ms vs fetch 170ms for 27 TFLOP). Time by fetching
     # the f32 scalar result; the K2-K1 delta cancels dispatch+fetch overhead.
-    def fetch(f, a):
-        return float(np.asarray(f(a)))
+    def fetch(k):
+        return float(np.asarray(run(d2, k)))
 
-    # compile + warm
-    fetch(run1, d1)
-    fetch(run2, d2)
+    # compile + warm (both trip counts through the one executable)
+    fetch(K1)
+    fetch(K2)
 
-    def best3(f, a):
+    def best3(k):
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fetch(f, a)
+            fetch(k)
             ts.append(time.perf_counter() - t0)
         return float(min(ts))
 
-    t1 = best3(run1, d1)
-    t2 = best3(run2, d2)
+    t1 = best3(K1)
+    t2 = best3(K2)
 
     dt = max(t2 - t1, 1e-9)
     msps = n * (K2 - K1) / dt / 1e6
@@ -106,14 +130,13 @@ def main():
     # FFT formulation spends) — MF 31-tap cplx*real FIR (124), modulation
     # strip+FFT CFO (~123), V&V (~30), O&M timing (~20), polyphase pick
     # (8 taps, 32/sym -> 16), quantize (4), Viterbi 64-state ACS+RE
-    # (~14*64/bit -> 448). DSP chains are VPU/elementwise-bound, so MFU
-    # against the bf16 MXU peak is inherently small — reported for the
-    # roofline trend, not as a target.
-    flops_per_sample = 124 + 123 + 30 + 20 + 16 + 4 + 448
+    # (~14*64/bit -> 448), deframe all-offset correlation (~16/bit -> 8),
+    # RS syndromes+BM+Chien+Forney (~40 GF ops/byte at 24 int ops -> ~60).
+    flops_per_sample = 124 + 123 + 30 + 20 + 16 + 4 + 448 + 8 + 60
     gflops = msps * 1e6 * flops_per_sample / 1e9
     peak_bf16_gflops = 197e3  # v5e MXU peak
     print(json.dumps({
-        "metric": "qpsk_baseband_to_bits_throughput_1chip",
+        "metric": "qpsk_baseband_to_cadu_throughput_1chip",
         "value": round(msps, 2),
         "unit": "Msamp/s",
         "vs_baseline": round(msps / 6.0, 2),

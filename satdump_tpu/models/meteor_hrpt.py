@@ -89,6 +89,7 @@ class MSUMRHRPTReader:
         self.lines = 0
         self._rows = []
         self.calibration = []
+        self.telemetry_calib: List[Optional[dict]] = []
 
     def work(self, frame: np.ndarray) -> None:
         data = frame[50: 50 + 393 * 30].reshape(393, 30)
@@ -98,12 +99,39 @@ class MSUMRHRPTReader:
                                     .reshape(-1)) << 6
         self._rows.append(row)
         self.calibration.append(_unpack_10bit(frame[35: 50]))
+        self.telemetry_calib.append(parse_msumr_analog_tlm(frame))
         self.lines += 1
 
     def get_channel(self, ch: int) -> np.ndarray:
         if not self._rows:
             return np.zeros((0, 1572), np.uint16)
         return np.stack([r[ch] for r in self._rows])
+
+    def views(self) -> list:
+        """calibration_info shape for meteor_msumr: [ch][2][lines]
+        (module_meteor_instruments.cpp:251)."""
+        return [[[int(w[ch * 2 + lv]) for w in self.calibration]
+                 for lv in range(2)] for ch in range(6)]
+
+
+def parse_msumr_analog_tlm(frame: np.ndarray) -> Optional[dict]:
+    """Analog telemetry line (msumr_tlm.h HRPT mode, frame[13]==0x0F):
+    hot/cold body temperatures decoded as -(int8)b * 0.5 + 273.15 with the
+    METEOR-M2-2 +40 K patch (mid == 2)."""
+    if int(frame[13]) != 0b00001111:
+        return None
+    mid = int(frame[12]) >> 4
+    patch = 40.0 if mid == 2 else 0.0
+
+    def temp(i):                       # bytes 14+i, i in 8..13
+        v = int(np.int8(frame[14 + i]))
+        return -v * 0.5 + 273.15
+
+    return {"analog_tlm": {
+        "cold_temp1": temp(10) + patch, "cold_temp2": temp(9) + patch,
+        "cold_temp3": temp(8) + patch,
+        "hot_temp1": temp(13), "hot_temp2": temp(12), "hot_temp3": temp(11),
+    }}
 
 
 class BISMReader:
@@ -249,9 +277,27 @@ class MeteorInstrumentsModule(ProcessingModule):
             prod.instrument_name = "msu_mr"
             prod.set_product_timestamp(dataset.timestamp)
             prod.set_product_source(sat_name)
+            # wavenumbers + per-satellite visible coefficients
+            # (resources/calibration/MSU-MR.json, ref :239-260)
+            import json as _json
+            _res = Path(__file__).resolve().parent.parent.parent / \
+                "resources" / "calibration" / "MSU-MR.json"
+            try:
+                msu_cfg = _json.load(open(_res))
+            except Exception:
+                msu_cfg = {"wavenumbers": [0.0] * 6, "vis": {}}
             for ch in range(6):
                 prod.add_channel(msumr.get_channel(ch), str(ch + 1),
-                                 bit_depth=10)
+                                 bit_depth=10,
+                                 wavenumber=msu_cfg["wavenumbers"][ch])
+            calib_cfg = {"vars": {
+                "lrpt": False,
+                "views": msumr.views(),
+                "temps": msumr.telemetry_calib,
+            }}
+            if sat_name in msu_cfg.get("vis", {}):
+                calib_cfg["vars"]["vis"] = msu_cfg["vis"][sat_name]
+            prod.set_calibration("meteor_msumr", calib_cfg)
             prod.contents["timestamps"] = timestamps
             prod.contents["norad"] = NORADS.get(serial, 0)
             pdir = str(Path(directory) / "MSU-MR")

@@ -187,6 +187,8 @@ class IASIIMGReader:
         self.timestamps: List[float] = []
         self._cur = np.zeros((64, 36 * 64), np.uint16)
         self._cur_ts: List[float] = []
+        self.calib: List[dict] = []          # per-scan {bbt, cold, warm}
+        self._last_bbt = 0.0
 
     def work(self, pkt: CCSDSPacket) -> None:
         p = bytes(pkt.payload)
@@ -205,9 +207,20 @@ class IASIIMGReader:
             self._scans.append(self._cur)
             self.timestamps.append(np.median(self._cur_ts)
                                    if self._cur_ts else -1.0)
+            self.calib.append({"bbt": self._last_bbt})
             self._cur = np.zeros((64, 36 * 64), np.uint16)
             self._cur_ts = []
             self.lines += 1
+
+    def work_calib(self, pkt: CCSDSPacket) -> None:
+        """Blackbody temperature from the verification packet (APID 180,
+        iasi_imaging_reader.cpp work_calib)."""
+        p = bytes(pkt.payload)
+        if len(p) < 776:
+            return
+        w = p[14:]
+        bbt = w[8] << 24 | w[9] << 16 | w[10] << 8 | w[11]
+        self._last_bbt = bbt / 1e3
 
     def get_ir_channel(self) -> np.ndarray:
         """Normalize each scan against its cold/warm views and crop the 6
@@ -223,6 +236,10 @@ class IASIIMGReader:
             span[span == 0] = 1.0
             ref_lo = cold[0, 31]
             ref_hi = warm[0, 31]
+            idx = len(out)
+            if idx < len(self.calib):
+                self.calib[idx]["cold_counts"] = float(ref_lo)
+                self.calib[idx]["warm_counts"] = float(ref_hi)
             img = s.copy()
             for x2 in range(36):
                 seg = s[:, x2 * 64: (x2 + 1) * 64]
@@ -313,6 +330,8 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
                 for pkt in demux_vcid10.work(bytes(cadu)):
                     if pkt.header.apid == 150:
                         iasi_img.work(pkt)
+                    elif pkt.header.apid == 180:
+                        iasi_img.work_calib(pkt)
             elif vcdu.vcid == 12:  # MHS
                 for pkt in demux_vcid12.work(bytes(cadu)):
                     if pkt.header.apid == 34:
@@ -379,7 +398,8 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             # bowtie per-IFOV scan (module_metop_instruments.cpp:357)
             from satdump_tpu.image.geometry import correct_generic_bowtie
             img = correct_generic_bowtie(img, 64, 1.0 / 2.2, 1.0 - 1.0 / 2.2)
-            pi.add_channel(img, "1", bit_depth=16)
+            pi.add_channel(img, "1", bit_depth=16, wavenumber=875.0)
+            pi.set_calibration("metop_iasi_img", {"vars": iasi_img.calib})
             pi.set_proj_cfg_tle_timestamps(
                 {"type": "normal_per_ifov", "scan_angle": 97.4,
                  "image_width": 30 * 64, "ifov_count": 30,
@@ -395,6 +415,7 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
                 pa = ImageProduct()
                 pa.instrument_name = "ascat"
                 pa.add_channel(ascat.get_channel_img(i), "1", bit_depth=16)
+                pa.set_calibration("metop_ascat", {})
                 pa.contents["timestamps"] = ascat.timestamps[i]
                 pa.contents["beam"] = i + 1
                 pa.save(str(out_dir / "ASCAT" / str(i + 1)))

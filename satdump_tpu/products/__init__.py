@@ -1,1 +1,3 @@
 """products subpackage."""
+
+import satdump_tpu.products.calibrators  # noqa: F401  (registers calibrators)

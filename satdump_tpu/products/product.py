@@ -53,20 +53,22 @@ class Product:
             "contents": self.contents,
         }
 
-    def save(self, directory: str, cbor: bool = False) -> str:
+    def save(self, directory: str, cbor: bool = True) -> str:
+        """Save the product. CBOR is the reference byte format (nlohmann
+        to_cbor, products/product.cpp saveProduct) and is written by DEFAULT
+        on the main path; a product.json twin is always written too for
+        inspectability (load_product prefers the CBOR)."""
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
+        jpath = d / "product.json"
+        with open(jpath, "w") as f:
+            json.dump(self._meta(), f, indent=2)
         if cbor:
-            # reference byte format: nlohmann to_cbor of the product dict
-            # (products/product.cpp saveProduct); utils/cbor.py mirrors it
             from satdump_tpu.utils import cbor as _cbor
             path = d / "product.cbor"
             path.write_bytes(_cbor.encode(self._meta()))
-        else:
-            path = d / "product.json"
-            with open(path, "w") as f:
-                json.dump(self._meta(), f, indent=2)
-        return str(path)
+            return str(path)
+        return str(jpath)
 
     def load(self, file: str) -> None:
         meta = _read_meta(file)

@@ -1,0 +1,94 @@
+"""Per-instrument calibrators (products/calibrators.py) vs the reference
+per-pixel formulas (mhs/hirs/ascat/iasi_img/msumr calibrator headers)."""
+
+import numpy as np
+import pytest
+
+from satdump_tpu.products.calibration import (CALIBRATION_INVALID_VALUE,
+                                              get_calibrator,
+                                              temperature_to_radiance)
+
+
+class _Holder:
+    def __init__(self, abs_index, wavenumber, bit_depth=16):
+        self.abs_index = abs_index
+        self.wavenumber = wavenumber
+        self.bit_depth = bit_depth
+
+
+class _Prod:
+    def __init__(self, wn):
+        self.images = [_Holder(i, w) for i, w in enumerate(wn)]
+
+
+def test_mhs_quadratic_per_line():
+    plpc = [[{"a0": 1.0, "a1": 0.5, "a2": 0.001} for _ in range(5)],
+            [{"a0": -999.99, "a1": 0, "a2": 0} for _ in range(5)]]
+    cal = get_calibrator("noaa_mhs", _Prod([5.0] * 5),
+                         {"vars": {"perLine_perChannel": plpc}})
+    counts = np.array([[10, 0], [7, 8]], np.uint16)
+    out = cal.compute(2, counts)
+    assert out[0, 0] == pytest.approx(1.0 + 0.5 * 10 + 0.001 * 100)
+    assert out[0, 1] == CALIBRATION_INVALID_VALUE          # zero count
+    assert (out[1] == CALIBRATION_INVALID_VALUE).all()     # bad line
+
+
+def test_hirs_linear_and_visible():
+    plpc = [[] for _ in range(20)]
+    plpc[3] = [{"a0": 2.0, "a1": 0.25}]
+    cal = get_calibrator("noaa_hirs", _Prod([10.0] * 20),
+                         {"vars": {"perLine_perChannel": plpc,
+                                   "perChannel": {"a0": 0.0, "a1": 0.001}}})
+    out = cal.compute(3, np.array([[8, 0]], np.uint16))
+    assert out[0, 0] == pytest.approx(2.0 + 0.25 * 8)
+    assert out[0, 1] == CALIBRATION_INVALID_VALUE
+    vis = cal.compute(19, np.array([[500, 2000]], np.uint16))
+    assert vis[0, 0] == pytest.approx(0.5)
+    assert vis[0, 1] == CALIBRATION_INVALID_VALUE          # albedo > 1
+
+
+def test_ascat_float_decode():
+    cal = get_calibrator("metop_ascat", _Prod([0]), {})
+    out = cal.compute(0, np.array([[0x3F80, 0xBF80]], np.uint16))
+    assert out[0, 0] == 1.0 and out[0, 1] == -1.0
+
+
+def test_iasi_img_two_point():
+    wn = 2000.0
+    cal = get_calibrator(
+        "metop_iasi_img", _Prod([wn]),
+        {"vars": [{"bbt": 290.0, "cold_counts": 1000.0,
+                   "warm_counts": 9000.0}]})
+    c = np.full((64, 4), 9000.0)
+    out = cal.compute(0, c)
+    assert out[0, 0] == pytest.approx(temperature_to_radiance(290.0, wn))
+    c2 = np.full((64, 4), 1000.0)
+    out2 = cal.compute(0, c2)
+    assert out2[0, 0] == pytest.approx(temperature_to_radiance(2.73, wn),
+                                       rel=1e-6)
+
+
+def test_msumr_ir_two_point():
+    wn = 900.0
+    views = [None, None, None,
+             [[1000.0, 1000.0], [9000.0, 9000.0]]] + [None, None]
+    temps = [{"analog_tlm": {"cold_temp1": 225.0, "cold_temp2": 225.0,
+                             "hot_temp1": 312.0, "hot_temp2": 312.0}},
+             None]
+    cal = get_calibrator("meteor_msumr",
+                         _Prod([0, 0, 0, wn, 0, 0]),
+                         {"vars": {"views": views, "temps": temps}})
+    out = cal.compute(3, np.array([[1000.0], [9000.0]]))
+    assert out[0, 0] == pytest.approx(temperature_to_radiance(225.0, wn))
+    assert out[1, 0] == pytest.approx(temperature_to_radiance(312.0, wn))
+
+
+def test_msumr_visible():
+    cal = get_calibrator(
+        "meteor_msumr", _Prod([2500.0] + [0] * 5),
+        {"vars": {"vis": [[0.0, 50.0], [0.0, 60.0], [0.0, 70.0],
+                          [47, 573]]}})
+    out = cal.compute(0, np.array([[572.0]]))
+    assert out[0, 0] > 0
+    zero = cal.compute(0, np.array([[47.0]]))
+    assert zero[0, 0] == 0.0

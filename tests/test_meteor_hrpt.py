@@ -2,6 +2,7 @@
 CADUs (mirrors plugins/meteor_support/meteor/ in reverse)."""
 
 import numpy as np
+import pytest
 
 from satdump_tpu.models import meteor_hrpt as mh
 from satdump_tpu.products.product import load_product
@@ -196,3 +197,39 @@ def test_meteor_instruments_mtvza_product(tmp_path, rng):
     prod = load_product(str(tmp_path / "out" / "MTVZA"))
     assert len(prod.images) == 30
     assert prod.images[0].image.shape == (2, 100)
+
+
+def test_msumr_product_calibration(tmp_path, rng):
+    """The MSU-MR product carries meteor_msumr calibration (views from the
+    10-bit calibration words + temps from analog telemetry) and calibrates
+    IR channels to radiance."""
+    day_clock = 5000 * 86400 + 12 * 3600
+    frames = []
+    for i in range(4):
+        f, _ = mk_msumr_frame(rng, hms=(10, 30, i), serial=3)
+        f[13] = 0b00001111                  # analog telemetry line
+        # cold ~258K: b = -(258.15-273.15)/0.5 = 30; hot ~313K: b = -80
+        f[14 + 8] = f[14 + 9] = f[14 + 10] = 30
+        f[14 + 11] = f[14 + 12] = f[14 + 13] = (-80) & 0xFF
+        frames.append(f)
+    msumr_stream = np.concatenate(frames)
+    bism_stream = np.concatenate([mk_bism_frame(day_clock)] * 4)
+    cadus = streams_to_cadus(msumr_stream, bism_stream)
+    p = tmp_path / "m.cadu"
+    cadus.tofile(p)
+    mod = mh.MeteorInstrumentsModule(str(p), str(tmp_path / "out" / "x"),
+                                     {"year_override": 2024})
+    mod.process()
+    prod = load_product(str(tmp_path / "out" / "MSU-MR"))
+    calib = prod.contents.get("calibration", {})
+    assert calib.get("calibrator") == "meteor_msumr"
+    v = calib["vars"]
+    assert len(v["views"]) == 6 and len(v["views"][0][0]) == 4
+    t = v["temps"][0]["analog_tlm"]
+    assert t["cold_temp1"] == pytest.approx(-30 * 0.5 + 273.15)
+    assert t["hot_temp1"] == pytest.approx(80 * 0.5 + 273.15)
+    # end-to-end calibrate an IR channel
+    from satdump_tpu.products.calibration import get_calibrator
+    cal = get_calibrator("meteor_msumr", prod, calib)
+    out = cal.compute(3, prod.images[3].image >> 6)
+    assert np.isfinite(out).any()
