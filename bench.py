@@ -31,7 +31,11 @@ import time
 import numpy as np
 
 
-def _build(n, sps, K):
+def _build(n, sps):
+    """-> (demod_jit, chain, init_state): two chained device programs.
+    Fusing demod+FEC into one jitted scan is semantically identical but the
+    axon REMOTE compiler takes >9 min on the combined graph; two programs
+    compile in ~1 min total and the soft hand-off stays device-resident."""
     import jax
     import jax.numpy as jnp
 
@@ -42,49 +46,30 @@ def _build(n, sps, K):
     rrc = root_raised_cosine(1.0, sps, 1.0, 0.5, 31)  # host np const
     bank = mm_interpolator_bank()
     cap = int(np.ceil(n / (sps * 0.99))) + 2
-    chunk_pairs = (cap // 2) // SEG * SEG      # whole IQ pairs, SEG-multiple
+    chunk_pairs = cap // SEG * SEG             # one QPSK symbol = one pair
 
     chain = CaduChain(cadu_bits=8192, chunk_pairs=chunk_pairs, rs_i=4)
-    rot = jnp.asarray([1.0, 0.0], jnp.float32)
-    swap = jnp.float32(0.0)
 
-    def block_step(state, x):
-        ff_st, bit_carry, soft_ctx, nrzm_carry = state
+    def demod_block(ff_st, x, prev_dep):
         ff_st, syms, valid, snr = ffsync.ff_psk_demod_block(
-            ff_st, x, order=4, sps=sps, rrc_taps=rrc, bank=bank, out_cap=cap)
+            ff_st, x + (prev_dep * 0).astype(x.dtype),  # serialize blocks
+            order=4, sps=sps, rrc_taps=rrc, bank=bank, out_cap=cap)
         soft = jnp.stack([jnp.real(syms), jnp.imag(syms)], axis=-1)
         soft = jnp.clip(soft * 100.0, -127, 127)
-        pairs = soft.reshape(-1, 2)[: chunk_pairs]        # (pairs, 2) f32
-        n_pairs = jnp.minimum(jnp.sum(valid.astype(jnp.int32)) // 2,
+        pairs = soft[: chunk_pairs]                     # (pairs, 2) f32
+        n_pairs = jnp.minimum(jnp.sum(valid.astype(jnp.int32)),
                               chunk_pairs).astype(jnp.int32)
-        (words, fdist, rs_errs, r, inv, nhits, bit_carry, soft_ctx,
-         nrzm_carry, ber) = chain._trace(
-            pairs, soft_ctx, rot, swap, bit_carry, nrzm_carry, n_pairs)
-        # data dependency on every stage's output (defeats DCE)
-        dep = (jnp.sum(words.astype(jnp.float32))
-               + jnp.sum(rs_errs.astype(jnp.float32))
-               + jnp.sum(fdist.astype(jnp.float32)) + ber)
-        return (ff_st, bit_carry, soft_ctx, nrzm_carry), dep
+        return ff_st, pairs, n_pairs
 
-    def run(xs, nblocks):  # xs: (K, n) complex64; nblocks traced scalar
-        st0 = (ffsync.ff_clock_init(rrc_ntaps=31),
-               jnp.zeros((chain.carry_bits,), jnp.int32),
-               jnp.zeros((128, 2), jnp.float32),
-               jnp.zeros((), jnp.int32))
+    demod_jit = jax.jit(demod_block)
 
-        def body(i, carry):
-            st, acc = carry
-            x = jax.lax.dynamic_index_in_dim(xs, i, keepdims=False)
-            st, dep = block_step(st, x)
-            return (st, acc + dep)
+    def init_state():
+        return (ffsync.ff_clock_init(rrc_ntaps=31),
+                jnp.zeros((chain.carry_bits,), jnp.int32),
+                jnp.zeros((128, 2), jnp.float32),
+                jnp.zeros((), jnp.int32))
 
-        # dynamic trip count: ONE compiled program serves both timing
-        # points (a second K-specialized compile would double the axon
-        # remote-compile cost, which already dominates bench wall time)
-        st, acc = jax.lax.fori_loop(0, nblocks, body, (st0, jnp.float32(0)))
-        return st[0].nco_phase + acc
-
-    return jax.jit(run)
+    return demod_jit, chain, init_state
 
 
 def main():
@@ -96,26 +81,43 @@ def main():
     rng = np.random.default_rng(7)
     xs = ((rng.standard_normal((K2, n)) + 1j * rng.standard_normal((K2, n)))
           * 0.5).astype(np.complex64)
-    d2 = xfer.put(xs)
+    import jax.numpy as jnp
 
-    run = _build(n, sps, K2)
+    dxs = [xfer.put(x) for x in xs]
+
+    demod_jit, chain, init_state = _build(n, sps)
+    rot = xfer.put(np.asarray([1.0, 0.0], np.float32))
+    swap = xfer.put(np.float32(0.0))
 
     # The axon tunnel's block_until_ready does NOT synchronize (dispatch is
     # fire-and-forget; only a d2h fetch joins the stream — tools/axon_probe.py
-    # matmul_time: BUR 0.1ms vs fetch 170ms for 27 TFLOP). Time by fetching
-    # the f32 scalar result; the K2-K1 delta cancels dispatch+fetch overhead.
-    def fetch(k):
-        return float(np.asarray(run(d2, k)))
+    # matmul_time: BUR 0.1ms vs fetch 170ms for 27 TFLOP). Per-block state
+    # carries serialize the dispatch chain; the trailing fetch of a scalar
+    # from the LAST block joins every prior dispatch. The K2-K1 delta
+    # cancels the fixed fetch/launch overhead.
+    def run(k):
+        ff_st, bit_carry, soft_ctx, nrzm_carry = init_state()
+        dep = None
+        for i in range(k):
+            ff_st, pairs, n_pairs = demod_jit(
+                ff_st, dxs[i], dep if dep is not None else jnp.float32(0))
+            (words, fdist, rs_errs, r, inv, nhits, bit_carry, soft_ctx,
+             nrzm_carry, ber) = chain._step(
+                pairs, soft_ctx, rot, swap, bit_carry, nrzm_carry, n_pairs)
+            dep = ber + jnp.sum(words[:1, :1].astype(jnp.float32)) \
+                + jnp.sum(rs_errs[:1, :1].astype(jnp.float32)) \
+                + fdist[0].astype(jnp.float32)
+        return float(np.asarray(dep))
 
-    # compile + warm (both trip counts through the one executable)
-    fetch(K1)
-    fetch(K2)
+    # compile + warm
+    run(K1)
+    run(K2)
 
     def best3(k):
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fetch(k)
+            run(k)
             ts.append(time.perf_counter() - t0)
         return float(min(ts))
 
