@@ -78,6 +78,80 @@ class FileSource(SampleSource):
             yield blk.samples[: blk.valid]
 
 
+class RtlTcpSource(SampleSource):
+    """rtl_tcp network client (plugins/sdr_sources/rtltcp_support/
+    rtltcp_client.h): 12-byte "RTL0" banner, then a raw uint8 IQ stream;
+    control commands are 1-byte opcode + uint32 BE parameter (1 freq,
+    2 samplerate, 3 gain mode, 4 gain, 8 AGC)."""
+
+    source_type = "rtltcp"
+
+    def __init__(self, params=None):
+        super().__init__(params)
+        self.host = str(self.d_params.get("host", "127.0.0.1"))
+        self.port = int(self.d_params.get("port", 1234))
+        self.block_size = int(self.d_params.get("block_size", 1 << 16))
+        self.gain = self.d_params.get("gain")
+        self._sock = None
+
+    def _cmd(self, opcode: int, param: int) -> None:
+        import struct
+        if self._sock is not None:
+            self._sock.sendall(struct.pack(">BI", opcode, int(param)))
+
+    def open(self) -> None:
+        import socket
+        self._sock = socket.create_connection((self.host, self.port),
+                                              timeout=10)
+        hdr = b""
+        while len(hdr) < 12:
+            chunk = self._sock.recv(12 - len(hdr))
+            if not chunk:
+                raise ConnectionError("rtl_tcp: connection closed in banner")
+            hdr += chunk
+        if hdr[:4] != b"RTL0":
+            raise ConnectionError(f"rtl_tcp: bad banner {hdr[:4]!r}")
+        self.tuner_type = int.from_bytes(hdr[4:8], "big")
+        self.tuner_gain_count = int.from_bytes(hdr[8:12], "big")
+        if self.samplerate:
+            self._cmd(2, self.samplerate)
+        if self.frequency:
+            self._cmd(1, self.frequency)
+        if self.gain is None:
+            self._cmd(8, 1)                  # AGC on
+        else:
+            self._cmd(3, 1)
+            self._cmd(4, int(float(self.gain) * 10))
+
+    def set_frequency(self, hz: float) -> None:
+        self.frequency = hz
+        self._cmd(1, hz)
+
+    def set_samplerate(self, sps: float) -> None:
+        self.samplerate = sps
+        self._cmd(2, sps)
+
+    def blocks(self) -> Iterator[np.ndarray]:
+        if self._sock is None:
+            self.open()
+        nbytes = self.block_size * 2
+        while True:
+            buf = b""
+            while len(buf) < nbytes:
+                chunk = self._sock.recv(nbytes - len(buf))
+                if not chunk:
+                    return
+                buf += chunk
+            u8 = np.frombuffer(buf, np.uint8).astype(np.float32)
+            iq = (u8 - 127.4) / 128.0
+            yield (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
+
+    def close(self) -> None:
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+
 class RemoteSource(SampleSource):
     """Remote-IQ network client (plugins/sdr_sources/remote_sdr_support)."""
 
@@ -120,6 +194,7 @@ def register_source(cls) -> type:
 
 register_source(FileSource)
 register_source(RemoteSource)
+register_source(RtlTcpSource)
 
 
 def get_source(descriptor: str | dict) -> SampleSource:
@@ -133,6 +208,10 @@ def get_source(descriptor: str | dict) -> SampleSource:
             host, port = s[6:].rsplit(":", 1)
             descriptor = {"type": "remote", "host": host, "port": int(port)}
             t = "remote"
+        elif s.startswith("rtltcp://"):
+            host, port = s[9:].rsplit(":", 1)
+            descriptor = {"type": "rtltcp", "host": host, "port": int(port)}
+            t = "rtltcp"
         else:
             descriptor = {"type": "file",
                           "path": s[7:] if s.startswith("file://") else s}

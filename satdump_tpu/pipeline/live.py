@@ -50,6 +50,27 @@ class LivePipeline:
             self.modules.append(cls("", hint, params))
         self.stats: dict = {}
 
+    def set_doppler(self, tracker, frequency_hz: float,
+                    samplerate: float, t0: Optional[float] = None) -> None:
+        """Install tracker-driven Doppler pre-correction on the demod
+        (ref module_demod_base.h doppler option): the provider maps the
+        absolute sample position to predicted shift via the SGP4 tracker
+        (tracking/tracker.py doppler_shift). Call before start()."""
+        start_t = time.time() if t0 is None else t0
+
+        def provider(pos: int, n: int) -> np.ndarray:
+            # one prediction per 4096 samples, linearly interpolated —
+            # Doppler varies at ~Hz/s, far below this granularity
+            step = 4096
+            tpts = start_t + (pos + np.arange(0, n + step, step)) / samplerate
+            d = np.asarray([tracker.doppler_shift(t, frequency_hz)
+                            for t in tpts], np.float64)
+            x = np.arange(0, n + step, step)
+            return np.interp(np.arange(n), x, d).astype(np.float32)
+
+        if hasattr(self.modules[0], "doppler_provider"):
+            self.modules[0].doppler_provider = provider
+
     def start(self) -> None:
         self._sinks = []
         demod = self.modules[0]

@@ -59,6 +59,11 @@ class PSKDemodModule(BaseDemodModule):
         # over the device mesh (parallel/timeshard.py — halo exchange +
         # seam phase stitching over ICI); requires fast + >1 device.
         self.multichip = bool(self.param("multichip", False))
+        # Doppler pre-correction (ref module_demod_base.h doppler option +
+        # doppler_correct.h): a provider fn(sample_pos, n) -> Hz array set
+        # by the live/autotrack layer (tracking predictions), mixed out
+        # on-device before the sync chain.
+        self.doppler_provider = None
 
     # -- multichip: time-sharded demod over the device mesh ------------------
     def _build_multichip(self) -> bool:
@@ -150,9 +155,13 @@ class PSKDemodModule(BaseDemodModule):
             order = _ORDER[self.constellation]
             is_oqpsk = self.is_oqpsk
             ff_cap = int(np.ceil(out_n / (sps * 0.99))) + 2
+            do_doppler = self.doppler_provider is not None
+            in_rate = self.d_samplerate
 
-            def fast_step(state, x):
-                fs_st, dc_st, rs_st, ff_st = state
+            def fast_step(state, x, dop):
+                fs_st, dc_st, rs_st, ff_st, dp_st = state
+                if do_doppler:
+                    dp_st, x = stages.doppler_correct(dp_st, x, dop, in_rate)
                 if do_shift:
                     fs_st, x = stages.freq_shift(fs_st, x, shift_delta)
                 if dc_block:
@@ -163,15 +172,18 @@ class PSKDemodModule(BaseDemodModule):
                 ff_st, syms, valid, snr = ffsync.ff_psk_demod_block(
                     ff_st, x, order=order, sps=sps, rrc_taps=taps, bank=bank,
                     out_cap=ff_cap, oqpsk=is_oqpsk)
-                return (fs_st, dc_st, rs_st, ff_st), syms, valid, snr
+                return (fs_st, dc_st, rs_st, ff_st, dp_st), syms, valid, snr
 
-            self._step = jax.jit(fast_step, donate_argnums=0)
+            jitted = jax.jit(fast_step, donate_argnums=0)
+            self._step = lambda st, x: jitted(st, x, self._doppler_block())
             self._state = (
                 stages.freq_shift_init(),
                 stages.dc_block_init(),
                 resamp.rational_resampler_init(interp, r_bank.shape[1] if do_resample else 8),
                 ffsync.ff_clock_init(rrc_ntaps=self.rrc_ntaps),
+                stages.freq_shift_init(),
             )
+            self._sample_pos = 0
             return
 
         def step(state, x):
@@ -209,6 +221,17 @@ class PSKDemodModule(BaseDemodModule):
             stages.delay_one_imag_init(),
             clock_recovery.mm_init(omega=sps, mu=self.clock_mu),
         )
+
+    def _doppler_block(self):
+        """Per-block predicted Doppler (Hz) from the provider, advancing the
+        absolute sample position; scalar 0 when Doppler is off."""
+        if self.doppler_provider is None:
+            return np.float32(0.0)
+        pos = getattr(self, "_sample_pos", 0)
+        dop = np.asarray(self.doppler_provider(pos, self.block_size),
+                         np.float32)
+        self._sample_pos = pos + self.block_size
+        return dop
 
     # -- streaming interface (shared by the offline and live runners) -------
     def stream_start(self) -> None:
