@@ -299,6 +299,65 @@ class ASCATReader:
         return np.stack(self._img[ch])
 
 
+class GOMEReader:
+    """GOME-2 spectrometer (gome_reader.cpp): each packet carries one of 16
+    counters x 2 readouts of 4 detector bands (1024 channels each); 6
+    logical bands map onto them with fixed start/end splits. 32 scan
+    positions per line, scan-reversed."""
+
+    BAND_CHANNELS = [0, 0, 1, 1, 2, 3]
+    BAND_STARTS = [0, 659, 0, 71, 0, 0]
+    BAND_ENDS = [658, 1023, 70, 1023, 1023, 1023]
+
+    def __init__(self):
+        self.lines = 0
+        self.timestamps: List[float] = []
+        # per logical band: list of (1024-ish, 32) line blocks
+        self._cur = [np.zeros((1024, 32), np.uint16) for _ in range(6)]
+        self._rows: List[List[np.ndarray]] = [[] for _ in range(6)]
+
+    def work(self, pkt: CCSDSPacket) -> None:
+        p = bytes(pkt.payload)
+        if len(p) < 18732:
+            return
+        hdr = np.frombuffer(p[14:], ">u2")
+        counter = int(hdr[6])
+        if counter > 15:
+            return
+        # 2 readouts x 4 detector bands of [index + 1024 samples]
+        base = 478 + 680
+        bands = hdr[base: base + 2 * 4 * 1025].reshape(2, 4, 1025)
+        for band in range(6):
+            b0, b1 = self.BAND_STARTS[band], self.BAND_ENDS[band]
+            nch = b1 - b0 + 1
+            if b0 >= nch:
+                continue
+            det = self.BAND_CHANNELS[band]
+            data0 = bands[0, det, 1 + b0: 1 + b1 + 1]
+            data1 = bands[1, det, 1 + b0: 1 + b1 + 1]
+            self._cur[band][:nch, 31 - (counter * 2 + 0)] = data0
+            self._cur[band][:nch, 31 - (counter * 2 + 1)] = data1
+        if counter == 15:
+            for band in range(6):
+                self._rows[band].append(self._cur[band])
+            self._cur = [np.zeros((1024, 32), np.uint16) for _ in range(6)]
+            self.lines += 1
+            self.timestamps.append(parse_ccsds_time(pkt, 10957 * 86400))
+
+    def get_channel(self, channel: int) -> np.ndarray:
+        """Global channel index -> (lines, 32) image (gome_reader.cpp
+        getChannel band walk)."""
+        band, coff, chan = 0, 0, channel
+        while band < 5 and channel > (
+                coff + (self.BAND_ENDS[band] - self.BAND_STARTS[band] + 1)):
+            chan -= self.BAND_ENDS[band] - self.BAND_STARTS[band] + 1
+            coff += self.BAND_ENDS[band] - self.BAND_STARTS[band] + 1
+            band += 1
+        if not self._rows[band]:
+            return np.zeros((0, 32), np.uint16)
+        return np.stack([blk[chan] for blk in self._rows[band]])
+
+
 @register_module
 class MetOpInstrumentsDecoderModule(ProcessingModule):
     """cadu -> instrument products (ref module_metop_instruments.cpp)."""
@@ -310,10 +369,12 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
         mhs = MHSReader()
         iasi_img = IASIIMGReader()
         ascat = ASCATReader()
+        gome = GOMEReader()
         demux_vcid9 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         demux_vcid10 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         demux_vcid12 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         demux_vcid15 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
+        demux_vcid24 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         scids: List[int] = []
 
         cadus = np.fromfile(self.d_input_file, np.uint8)
@@ -339,6 +400,10 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             elif vcdu.vcid == 15:  # ASCAT
                 for pkt in demux_vcid15.work(bytes(cadu)):
                     ascat.work(pkt)
+            elif vcdu.vcid == 24:  # GOME
+                for pkt in demux_vcid24.work(bytes(cadu)):
+                    if pkt.header.apid == 384:
+                        gome.work(pkt)
 
         scid = max(set(scids), key=scids.count) if scids else -1
         sat_name, norad = METOP_SCIDS.get(scid, ("Unknown MetOp", 0))
@@ -421,8 +486,21 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
                 pa.save(str(out_dir / "ASCAT" / str(i + 1)))
                 ds.products_list.append(f"ASCAT/{i + 1}")
 
+        if gome.lines:
+            pg = ImageProduct()
+            pg.instrument_name = "gome"
+            # save a subset of representative channels as images (the ref
+            # writes all ~4k; one per logical band keeps products tractable)
+            for ch in (0, 700, 1400, 2200, 3000, 3800):
+                pg.add_channel(gome.get_channel(ch), str(ch + 1),
+                               bit_depth=16)
+            pg.contents["timestamps"] = gome.timestamps
+            pg.save(str(out_dir / "GOME"))
+            ds.products_list.append("GOME")
+
         self.d_output_file = ds.save(str(out_dir))
         self.stats = {"avhrr_lines": avhrr.lines, "mhs_lines": mhs.lines,
                       "iasi_img_lines": iasi_img.lines,
                       "ascat_lines": list(ascat.lines),
+                      "gome_lines": gome.lines,
                       "satellite": sat_name}

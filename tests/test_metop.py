@@ -296,3 +296,38 @@ def test_ascat_reader(rng):
     assert _ieee_halfish_to_float(np.array([0x3F80], np.uint16))[0] == 1.0
     assert _ieee_halfish_to_float(np.array([0xBF80], np.uint16))[0] == -1.0
     assert _ieee_halfish_to_float(np.array([0x7F80], np.uint16))[0] == 0.0
+
+
+def _gome_packet(bands_data: np.ndarray, counter: int, day=20000, ms=0):
+    """bands_data: (2, 4, 1024) uint16 detector readouts."""
+    hdr_words = np.zeros(478 + 680 + 2 * 4 * 1025, np.uint16)
+    hdr_words[6] = counter
+    base = 478 + 680
+    blk = np.zeros((2, 4, 1025), np.uint16)
+    blk[:, :, 1:] = bands_data
+    hdr_words[base: base + 2 * 4 * 1025] = blk.reshape(-1)
+    payload = bytearray(14)
+    payload[0:8] = bytes([day >> 8, day & 0xFF, (ms >> 24) & 0xFF,
+                          (ms >> 16) & 0xFF, (ms >> 8) & 0xFF, ms & 0xFF,
+                          0, 0])
+    payload += hdr_words.astype(">u2").tobytes()
+    payload += bytes(max(0, 18732 - len(payload)))
+    h = CCSDSHeader(apid=384, packet_sequence_count=counter,
+                    packet_length=len(payload) - 1)
+    return CCSDSPacket(header=h, payload=payload)
+
+
+def test_gome_reader(rng):
+    from satdump_tpu.models.metop import GOMEReader
+    data = {c: rng.integers(0, 65536, (2, 4, 1024), dtype=np.uint32
+                            ).astype(np.uint16) for c in range(16)}
+    r = GOMEReader()
+    for c in range(16):
+        r.work(_gome_packet(data[c], c))
+    assert r.lines == 1
+    # band 0 (det 0, channels 0..658): global channel 10
+    img = r.get_channel(10)
+    assert img.shape == (1, 32)
+    for c in range(16):
+        assert img[0, 31 - (c * 2 + 0)] == data[c][0, 0, 10]
+        assert img[0, 31 - (c * 2 + 1)] == data[c][1, 0, 10]
