@@ -370,6 +370,9 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
         iasi_img = IASIIMGReader()
         ascat = ASCATReader()
         gome = GOMEReader()
+        from satdump_tpu.models.noaa_tip import AMSUReader
+        amsu = AMSUReader()
+        demux_vcid3 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         demux_vcid9 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         demux_vcid10 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
         demux_vcid12 = Demuxer(mpdu_data_size=882, has_insert_zone=True)
@@ -383,7 +386,11 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             vcdu = parse_vcdu(cadu)
             if vcdu.spacecraft_id in METOP_SCIDS:
                 scids.append(vcdu.spacecraft_id)
-            if vcdu.vcid == 9:  # AVHRR/3
+            if vcdu.vcid == 3:  # AMSU
+                for pkt in demux_vcid3.work(bytes(cadu)):
+                    if pkt.header.apid in (39, 40):
+                        amsu.work_metop(pkt)
+            elif vcdu.vcid == 9:  # AVHRR/3
                 for pkt in demux_vcid9.work(bytes(cadu)):
                     if pkt.header.apid in (103, 104):
                         avhrr.work(pkt)
@@ -486,6 +493,20 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
                 pa.save(str(out_dir / "ASCAT" / str(i + 1)))
                 ds.products_list.append(f"ASCAT/{i + 1}")
 
+        if amsu.linesA1 or amsu.linesA2:
+            pa1 = ImageProduct()
+            pa1.instrument_name = "amsu_a"
+            for c in range(13):
+                pa1.add_channel(amsu.get_channel_a1(c), str(c + 3),
+                                bit_depth=16)
+            for c in range(2):
+                pa1.add_channel(amsu.get_channel_a2(c), str(c + 1),
+                                bit_depth=16)
+            pa1.contents["timestamps_a1"] = amsu.timestamps_a1
+            pa1.contents["timestamps_a2"] = amsu.timestamps_a2
+            pa1.save(str(out_dir / "AMSU"))
+            ds.products_list.append("AMSU")
+
         if gome.lines:
             pg = ImageProduct()
             pg.instrument_name = "gome"
@@ -503,4 +524,5 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
                       "iasi_img_lines": iasi_img.lines,
                       "ascat_lines": list(ascat.lines),
                       "gome_lines": gome.lines,
+                      "amsu_lines": [amsu.linesA1, amsu.linesA2],
                       "satellite": sat_name}

@@ -144,6 +144,39 @@ class AMSUReader:
                 -1 if ts in self.timestamps_a1 else ts)
             self.linesA1 += 1
 
+    def work_metop(self, pkt) -> None:
+        """MetOp AHRPT AMSU packets (amsu_reader.cpp:108-147): APID 39 (A1)
+        / 40 (A2); 16-bit words at payload[14..] (skipping the 13-byte
+        header, offset by one as the reference reads [i+1],[i+2]) filtered
+        for the idle word 0x0001, then the standard line parsers."""
+        from satdump_tpu.ccsds import (crc_check_vertical_parity,
+                                       parse_ccsds_time)
+        p = bytes(pkt.payload)
+        want = 2096 if pkt.header.apid == 39 else 1136
+        if pkt.header.apid not in (39, 40) or len(p) != want:
+            return
+        filtered = bytearray()
+        for i in range(13, len(p) - 2, 2):
+            word = (p[i + 1] << 8) | p[i + 2]
+            if word != 1:
+                filtered.append(word >> 8)
+                filtered.append(word & 0xFF)
+        f = np.frombuffer(bytes(filtered), np.uint8)
+        ts = parse_ccsds_time(pkt, 10957 * 86400) \
+            if crc_check_vertical_parity(pkt) else -1.0
+        if pkt.header.apid == 39:
+            if len(f) < 1040:
+                return
+            self.channels_a1.append(self._work_a1(f))
+            self.timestamps_a1.append(ts)
+            self.linesA1 += 1
+        else:
+            if len(f) < 256:
+                return
+            self.channels_a2.append(self._work_a2(f))
+            self.timestamps_a2.append(ts)
+            self.linesA2 += 1
+
     @staticmethod
     def _work_a1(f: np.ndarray) -> np.ndarray:
         """(13, 30) counts (amsu_reader.cpp:22-37)."""

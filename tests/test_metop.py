@@ -331,3 +331,29 @@ def test_gome_reader(rng):
     for c in range(16):
         assert img[0, 31 - (c * 2 + 0)] == data[c][0, 0, 10]
         assert img[0, 31 - (c * 2 + 1)] == data[c][1, 0, 10]
+
+
+def test_amsu_metop_packets(rng):
+    """MetOp AMSU APID-39/40 packets: idle-word filtering + line parse
+    (amsu_reader.cpp:108-147)."""
+    from satdump_tpu.models.noaa_tip import AMSUReader
+    r = AMSUReader()
+    # A1: build filtered stream so that _work_a1 sees known words: frame
+    # layout uses indices 16+2j per 34-byte group (13 ch x 30 fov)
+    a1 = np.zeros(1048, np.uint8)
+    vals = rng.integers(2, 60000, (13, 30), dtype=np.uint32)
+    idx = np.arange(0, 1020, 34)
+    for j in range(13):
+        a1[idx + 16 + 2 * j] = vals[j] >> 8
+        a1[idx + 16 + 2 * j + 1] = vals[j] & 0xFF
+    # pack into a packet: payload[14..] big-endian words, offset quirk:
+    # the reader takes (p[i+1]<<8)|p[i+2] for i=13,15,...
+    payload = bytearray(2096)
+    payload[14: 14 + len(a1)] = bytes(a1)
+    h = CCSDSHeader(apid=39, packet_length=2096 - 1)
+    h.raw = h.encode()
+    pkt = CCSDSPacket(header=h, payload=payload)
+    r.work_metop(pkt)
+    assert r.linesA1 == 1
+    got = np.stack([r.get_channel_a1(c)[0] for c in range(13)])
+    np.testing.assert_array_equal(got, vals.astype(np.uint16))
