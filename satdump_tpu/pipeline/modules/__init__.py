@@ -5,6 +5,7 @@ import satdump_tpu.pipeline.modules.ccsds  # noqa: F401
 import satdump_tpu.pipeline.modules.dvbs2  # noqa: F401
 import satdump_tpu.pipeline.modules.network  # noqa: F401
 import satdump_tpu.xrit.goes  # noqa: F401
+import satdump_tpu.pipeline.modules.xrit_net  # noqa: F401
 import satdump_tpu.xrit.gk2a  # noqa: F401
 import satdump_tpu.xrit.geo  # noqa: F401
 import satdump_tpu.pipeline.modules.convert  # noqa: F401

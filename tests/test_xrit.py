@@ -199,3 +199,72 @@ def test_goes_lrit_decoder_assembles_abi(tmp_path, compressed, rng):
     prod = load_product(os.path.join(tmp_path / "out", ds["products"][0], "product.json"))
     np.testing.assert_array_equal(
         np.asarray(prod.get_channel("13").image).squeeze(), full)
+
+
+def test_goesrecv_publisher(tmp_path, rng):
+    """CADU file -> publisher -> framed-TCP subscriber receives 892-byte
+    payloads (module_goesrecv_publisher.cpp)."""
+    import threading
+    from satdump_tpu.io.net import FramedTCPClient
+    from satdump_tpu.pipeline.modules.xrit_net import GOESRecvPublisherModule
+
+    cadus = rng.integers(0, 256, (5, 1024), dtype=np.uint32).astype(np.uint8)
+    p = tmp_path / "x.cadu"
+    cadus.tofile(p)
+    mod = GOESRecvPublisherModule(str(p), str(tmp_path / "o"),
+                                  {"nanomsg_port": 0, "client_wait": 5.0})
+    got = []
+    th = threading.Thread(target=mod.process)
+    th.start()
+    import time
+    for _ in range(100):
+        if mod.port:
+            try:
+                cl = FramedTCPClient("127.0.0.1", mod.port)
+                break
+            except Exception:
+                time.sleep(0.05)
+        time.sleep(0.02)
+    while len(got) < 5:
+        f = cl.recv()
+        if f is None:
+            break
+        got.append(np.frombuffer(f, np.uint8))
+    th.join(timeout=5)
+    assert mod.stats["frames"] == 5
+    assert len(got) == 5
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], cadus[i, 4: 4 + 892])
+
+
+def test_s2udp_cadu_extractor_ts_input(tmp_path, rng):
+    """TS packets carrying UDP datagrams with CADUs at offset 40 ->
+    extractor recovers them (module_s2udp_xrit_cadu_extractor.cpp:69)."""
+    from satdump_tpu.pipeline.modules.xrit_net import \
+        S2UDPxRITCADUExtractorModule
+
+    cadus = rng.integers(0, 256, (3, 1024), dtype=np.uint32).astype(np.uint8)
+    cadus[:, :4] = [0x1A, 0xCF, 0xFC, 0x1D]
+    pid = 0x3F5
+    ts_pkts = []
+    cc = 0
+    for cadu in cadus:
+        payload = bytes(40) + bytes(cadu)      # MPE+IP+UDP headers stub
+        first = True
+        for off in range(0, len(payload), 184):
+            chunk = payload[off: off + 184]
+            hdr = bytes([0x47,
+                         (0x40 if first else 0) | (pid >> 8), pid & 0xFF,
+                         0x10 | (cc & 0xF)])
+            cc += 1
+            first = False
+            ts_pkts.append(hdr + chunk.ljust(184, b"\xff"))
+    p = tmp_path / "x.ts"
+    with open(p, "wb") as f:
+        f.write(b"".join(ts_pkts))
+    mod = S2UDPxRITCADUExtractorModule(
+        str(p), str(tmp_path / "out"), {"pid": pid, "ts_input": True})
+    mod.process()
+    got = np.fromfile(mod.d_output_file, np.uint8).reshape(-1, 1024)
+    assert mod.stats["cadus"] == 3
+    np.testing.assert_array_equal(got, cadus)
