@@ -152,6 +152,110 @@ class RtlTcpSource(SampleSource):
             self._sock = None
 
 
+class SpyServerSource(SampleSource):
+    """SpyServer network client (plugins/sdr_sources/spyserver_support/
+    spyserver/spyserver_protocol.h): HELLO handshake, SET_SETTING commands
+    (streaming mode/format/frequency/decimation), 20-byte LE message
+    headers, uint8/int16/float IQ stream bodies."""
+
+    source_type = "spyserver"
+
+    PROTOCOL_VERSION = (2 << 24) | 1700
+
+    def __init__(self, params=None):
+        super().__init__(params)
+        self.host = str(self.d_params.get("host", "127.0.0.1"))
+        self.port = int(self.d_params.get("port", 5555))
+        self.bit16 = bool(self.d_params.get("bit16", True))
+        self.gain = int(self.d_params.get("gain", 20))
+        self._sock = None
+        self.device_info: dict = {}
+
+    def _send_cmd(self, ctype: int, body: bytes) -> None:
+        import struct
+        self._sock.sendall(struct.pack("<II", ctype, len(body)) + body)
+
+    def _setting(self, setting: int, value: int) -> None:
+        import struct
+        self._send_cmd(2, struct.pack("<II", setting, int(value)))
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("spyserver: connection closed")
+            buf += chunk
+        return buf
+
+    def _recv_msg(self):
+        import struct
+        hdr = self._recv_exact(20)
+        pid, mtype, stype, seq, size = struct.unpack("<5I", hdr)
+        body = self._recv_exact(size) if size else b""
+        return mtype, body
+
+    def open(self) -> None:
+        import socket
+        import struct
+        self._sock = socket.create_connection((self.host, self.port),
+                                              timeout=10)
+        name = b"satdump_tpu"
+        self._send_cmd(0, struct.pack("<I", self.PROTOCOL_VERSION) + name)
+        # wait for device info to size the decimation
+        while not self.device_info:
+            mtype, body = self._recv_msg()
+            if mtype == 0 and len(body) >= 48:
+                vals = struct.unpack("<12I", body[:48])
+                keys = ["DeviceType", "DeviceSerial", "MaximumSampleRate",
+                        "MaximumBandwidth", "DecimationStageCount",
+                        "GainStageCount", "MaximumGainIndex",
+                        "MinimumFrequency", "MaximumFrequency", "Resolution",
+                        "MinimumIQDecimation", "ForcedIQFormat"]
+                self.device_info = dict(zip(keys, vals))
+        decim = 0
+        if self.samplerate and self.device_info["MaximumSampleRate"]:
+            import math
+            decim = max(0, round(math.log2(
+                self.device_info["MaximumSampleRate"] / self.samplerate)))
+        self._setting(0, 1)                       # STREAMING_MODE = IQ only
+        self._setting(100, 2 if self.bit16 else 1)  # IQ_FORMAT
+        self._setting(102, decim)                 # IQ_DECIMATION
+        if self.frequency:
+            self._setting(101, int(self.frequency))
+        self._setting(2, self.gain)
+        self._setting(1, 1)                       # STREAMING_ENABLED
+
+    def set_frequency(self, hz: float) -> None:
+        self.frequency = hz
+        if self._sock is not None:
+            self._setting(101, int(hz))
+
+    def blocks(self) -> Iterator[np.ndarray]:
+        if self._sock is None:
+            self.open()
+        while True:
+            try:
+                mtype, body = self._recv_msg()
+            except ConnectionError:
+                return
+            if mtype == 100:      # uint8 IQ
+                u8 = np.frombuffer(body, np.uint8).astype(np.float32)
+                iq = (u8 - 128.0) / 128.0
+                yield (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
+            elif mtype == 101:    # int16 IQ
+                s16 = np.frombuffer(body, "<i2").astype(np.float32) / 32768.0
+                yield (s16[0::2] + 1j * s16[1::2]).astype(np.complex64)
+            elif mtype == 103:    # float IQ
+                f = np.frombuffer(body, "<f4")
+                yield (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+    def close(self) -> None:
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+
 class RemoteSource(SampleSource):
     """Remote-IQ network client (plugins/sdr_sources/remote_sdr_support)."""
 
@@ -195,6 +299,7 @@ def register_source(cls) -> type:
 register_source(FileSource)
 register_source(RemoteSource)
 register_source(RtlTcpSource)
+register_source(SpyServerSource)
 
 
 def get_source(descriptor: str | dict) -> SampleSource:
@@ -212,6 +317,11 @@ def get_source(descriptor: str | dict) -> SampleSource:
             host, port = s[9:].rsplit(":", 1)
             descriptor = {"type": "rtltcp", "host": host, "port": int(port)}
             t = "rtltcp"
+        elif s.startswith("spyserver://"):
+            host, port = s[12:].rsplit(":", 1)
+            descriptor = {"type": "spyserver", "host": host,
+                          "port": int(port)}
+            t = "spyserver"
         else:
             descriptor = {"type": "file",
                           "path": s[7:] if s.startswith("file://") else s}

@@ -61,3 +61,66 @@ def test_doppler_ramp_defeats_uncorrected_and_provider_recovers(tmp_path, rng):
     assert matched_cor >= 12, f"corrected chain decoded {matched_cor}/16"
     assert matched_cor > matched_raw + 4, \
         f"raw={matched_raw} cor={matched_cor}: ramp did not discriminate"
+
+
+def test_spyserver_source_fake_server():
+    """SpyServer client handshake + int16 IQ stream against a fake server
+    (spyserver_protocol.h structures)."""
+    import socket
+    import struct
+    import threading
+    from satdump_tpu.io.sources import get_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    rng = np.random.default_rng(1)
+    samples = rng.integers(-32768, 32768, 4096, dtype=np.int64
+                           ).astype("<i2")
+    got_cmds = []
+
+    def serve():
+        c, _ = srv.accept()
+        c.settimeout(1.0)
+        # read HELLO
+        hdr = c.recv(8)
+        ctype, size = struct.unpack("<II", hdr)
+        body = c.recv(size)
+        got_cmds.append((ctype, body[:4]))
+        # device info message
+        dev = struct.pack("<12I", 3, 1, 2_400_000, 2_000_000, 4, 1, 29,
+                          24_000_000, 1_700_000_000, 8, 0, 0)
+        c.sendall(struct.pack("<5I", 0, 0, 0, 0, len(dev)) + dev)
+        # drain settings for a bit
+        try:
+            while True:
+                h = c.recv(8)
+                if len(h) < 8:
+                    break
+                ct, sz = struct.unpack("<II", h)
+                b = c.recv(sz)
+                if ct == 2:
+                    got_cmds.append(struct.unpack("<II", b))
+        except socket.timeout:
+            pass
+        # int16 IQ message
+        body = samples.tobytes()
+        c.sendall(struct.pack("<5I", 0, 101, 1, 0, len(body)) + body)
+        c.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    src = get_source(f"spyserver://127.0.0.1:{port}")
+    src.samplerate = 600_000.0       # max 2.4M -> decimation stage 2
+    src.frequency = 100e6
+    src.open()
+    blk = next(iter(src.blocks()))
+    src.close()
+    th.join(timeout=2)
+    assert src.device_info["MaximumSampleRate"] == 2_400_000
+    assert (102, 2) in got_cmds        # IQ decimation = 2
+    assert (101, 100_000_000) in got_cmds
+    exp = samples.astype(np.float32) / 32768.0
+    np.testing.assert_allclose(blk.real, exp[0::2], rtol=1e-6)
+    np.testing.assert_allclose(blk.imag, exp[1::2], rtol=1e-6)
