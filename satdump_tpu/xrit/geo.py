@@ -136,10 +136,12 @@ class _GeoXRITModuleBase(ProcessingModule):
     """Shared cadu -> assembled-image machinery."""
 
     sat_dir = "GEO"
+    instrument = ""          # set to emit ImageProducts per time group
 
     def __init__(self, input_file, output_file_hint, parameters):
         super().__init__(input_file, output_file_hint, parameters)
         self._assemblers: Dict[str, GeoSegmentAssembler] = {}
+        self._groups: Dict[str, Dict[str, np.ndarray]] = {}
         self.images = 0
         self.files = 0
 
@@ -188,6 +190,28 @@ class _GeoXRITModuleBase(ProcessingModule):
         d.mkdir(parents=True, exist_ok=True)
         save_img(a.image, d / f"{self.sat_dir}_{key}.png")
         self.images += 1
+        if self.instrument:
+            # key = <channel-ish>_<group>: split on the LAST underscore
+            ch, _, group = key.rpartition("_") if "_" in key \
+                else (key, "", "all")
+            self._groups.setdefault(group, {})[ch or key] = a.image
+
+    def _save_products(self, out_dir: Path) -> None:
+        if not self.instrument or not self._groups:
+            return
+        from satdump_tpu.products.image_product import ImageProduct
+        from satdump_tpu.products.product import DataSet
+        ds = DataSet(self.sat_dir, -1.0)
+        for group, chans in self._groups.items():
+            p = ImageProduct()
+            p.instrument_name = self.instrument
+            for ch, img in sorted(chans.items()):
+                p.add_channel(img, ch.lstrip("ch"),
+                              bit_depth=16 if img.dtype == np.uint16 else 8)
+            name = f"{self.sat_dir}_{group}"
+            p.save(str(out_dir / name))
+            ds.products_list.append(name)
+        ds.save(str(out_dir))
 
     def process(self):
         out_dir = Path(self.d_output_file_hint).parent
@@ -203,6 +227,7 @@ class _GeoXRITModuleBase(ProcessingModule):
             self._process_file(f, out_dir)
         for key in list(self._assemblers):
             self._flush(key, out_dir)
+        self._save_products(out_dir)
         self.stats = {"files": self.files, "images": self.images}
         logger.info(f"{self.id}: {self.files} files, {self.images} images")
 
@@ -213,6 +238,7 @@ class HimawariCastDataDecoderModule(_GeoXRITModuleBase):
 
     id = "himawaricast_data_decoder"
     sat_dir = "AHI"
+    instrument = "ahi"
 
     def _classify(self, f: XRITFile):
         info = identify_himawari(f)
@@ -228,6 +254,7 @@ class ElektroLRITDataDecoderModule(_GeoXRITModuleBase):
 
     id = "elektro_lrit_data_decoder"
     sat_dir = "MSU-GS"
+    instrument = "msu_gs"
 
     def _classify(self, f: XRITFile):
         info = identify_eumetsat(f)
@@ -252,3 +279,4 @@ class MSGLRITDataDecoderModule(ElektroLRITDataDecoderModule):
 
     id = "msg_lrit_data_decoder"
     sat_dir = "SEVIRI"
+    instrument = "seviri"
