@@ -46,7 +46,10 @@ def _build(n, sps):
     rrc = root_raised_cosine(1.0, sps, 1.0, 0.5, 31)  # host np const
     bank = mm_interpolator_bank()
     cap = int(np.ceil(n / (sps * 0.99))) + 2
-    chunk_pairs = cap // SEG * SEG             # one QPSK symbol = one pair
+    # power-of-two chunk: the axon remote compiler takes 166 s on the
+    # 1033*SEG variant vs 37 s at 1<<20; the ~2.4% of symbols past the
+    # chunk are excluded from the reported sample count (main())
+    chunk_pairs = min(1 << 20, cap // SEG * SEG)
 
     chain = CaduChain(cadu_bits=8192, chunk_pairs=chunk_pairs, rs_i=4)
 
@@ -125,7 +128,11 @@ def main():
     t2 = best3(K2)
 
     dt = max(t2 - t1, 1e-9)
-    msps = n * (K2 - K1) / dt / 1e6
+    # samples actually carried through to CADUs: the chain consumes
+    # chunk_pairs of the ~n/sps symbols each block produces
+    cap = int(np.ceil(n / (sps * 0.99))) + 2
+    eff_n = int(n * min(1.0, (1 << 20) / cap))
+    msps = eff_n * (K2 - K1) / dt / 1e6
 
     # Roofline/MFU (SURVEY §5: first-class): algorithmic flops per input
     # sample of the direct-form chain (what the math requires, not what the

@@ -12,3 +12,4 @@ import satdump_tpu.models.goes_gvar  # noqa: F401
 import satdump_tpu.models.goes_grb  # noqa: F401
 import satdump_tpu.models.jpss  # noqa: F401
 import satdump_tpu.models.eos  # noqa: F401
+import satdump_tpu.models.fengyun3  # noqa: F401
