@@ -21,7 +21,7 @@ from satdump_tpu.ops.fec.codings_misc import SimpleDeframer
 from satdump_tpu.pipeline.module import ProcessingModule, register_module
 from satdump_tpu.products.image_product import ImageProduct
 from satdump_tpu.products.product import DataSet
-from satdump_tpu.utils.repack import repack_10bit
+from satdump_tpu.utils.repack import repack_10bit, repack_12bit
 
 VIRR_SYNC = 0b101000010001011011111101011100011001110110000011110010010101
 VIRR_SYNC_BITS = 60
@@ -64,6 +64,160 @@ class VIRRReader:
         return np.stack([r[ch] for r in self._rows])
 
 
+class MERSIReader:
+    """MERSI multispectral imager (instruments/mersi/mersi_reader.{h,cpp}):
+    a raw bit stream with two sync patterns — a 48-bit head marker
+    (0x55aa55aa55aa, calibration/timestamp frame) and a 28-bit scan marker
+    — followed by variable-size frames (the 10-bit line marker decides
+    250 m vs 1000 m scan size). The reference walks bit-by-bit; here sync
+    positions are found with one correlation pass and frames are walked
+    host-side at frame rate.
+
+    Variant geometry via constructor args; MERSI-2 defaults."""
+
+    HEAD_SYNC = 0x55AA55AA55AA
+    HEAD_BITS = 48
+    SCAN_SYNC = 0b0111111111111000000000000100
+    SCAN_BITS = 28
+
+    def __init__(self, ch_cnt_250=6, ch_cnt_1000=19, ch250_width=8192,
+                 frame_head_size=1329256, frame_scan_250_size=98856,
+                 frame_scan_1000_size=25128, imagery_offset_bytes=59,
+                 imagery_offset_bits=6, ms_scale=1e3):
+        self.c250 = ch_cnt_250
+        self.c1000 = ch_cnt_1000
+        self.w250 = ch250_width
+        self.w1000 = ch250_width // 4
+        self.head_size = frame_head_size
+        self.scan250_size = frame_scan_250_size
+        self.scan1000_size = frame_scan_1000_size
+        self.img_off_bytes = imagery_offset_bytes
+        self.img_off_bits = imagery_offset_bits
+        self.ms_scale = ms_scale
+        self.counter_250_end = ch_cnt_250 * 40
+        self.counter_max = self.counter_250_end + ch_cnt_1000 * 10
+        self.segments = -1
+        self.timestamps: List[float] = []
+        self.last_timestamp = -1.0
+        self._blk250: List[np.ndarray] = []   # (c250, 40, w250) per segment
+        self._blk1000: List[np.ndarray] = []
+
+    @staticmethod
+    def _sync_positions(bits: np.ndarray, sync: int, nbits: int
+                        ) -> np.ndarray:
+        pat = np.array([(sync >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+                       np.int8)
+        if len(bits) < nbits:
+            return np.zeros(0, np.int64)
+        x = bits.astype(np.int8) * 2 - 1
+        p = pat * 2 - 1
+        corr = np.correlate(x, p, "valid")
+        return np.flatnonzero(corr == nbits)
+
+    def _new_segment(self) -> None:
+        self.segments += 1
+        self._blk250.append(np.zeros((self.c250, 40, self.w250), np.uint16))
+        self._blk1000.append(np.zeros((self.c1000, 10, self.w1000),
+                                      np.uint16))
+        self.timestamps.append(self.last_timestamp)
+
+    def _process_head(self, fbytes: np.ndarray) -> None:
+        f = fbytes.astype(np.uint16)
+        if len(f) < 21:
+            return
+        t = np.zeros(8, np.uint16)
+        t[0] = (f[12] & 0xF) << 4 | f[13] >> 4
+        t[1] = (f[13] & 0xF) << 4 | f[11] >> 4
+        t[2] = (f[11] & 0xF) << 4 | f[12] >> 4
+        t[3] = (f[9] & 0xF) << 4 | f[10] >> 4
+        t[4] = (f[10] & 0xF) << 4 | f[8] >> 4
+        t[5] = (f[8] & 0xF) << 4 | f[9] >> 4
+        days = int(t[0]) << 8 | int(t[1])
+        ms = int(t[2]) << 24 | int(t[3]) << 16 | int(t[4]) << 8 | int(t[5])
+        sub = (int(f[19]) & 0xF) << 8 | int(f[17])
+        self.last_timestamp = ((10957 + days) * 86400.0 + ms / self.ms_scale
+                               + sub / 3950.0 + 12 * 3600)
+
+    def _process_scan(self, fbytes: np.ndarray) -> None:
+        if len(fbytes) < 2:
+            return
+        marker = int(fbytes[0]) << 2 | int(fbytes[1]) >> 6
+        if marker >= self.counter_max:
+            return
+        if marker == 0:
+            self._new_segment()
+        if self.segments < 0:
+            self._new_segment()
+        # imagery starts at (img_off_bytes bytes + img_off_bits bits)
+        body = fbytes[self.img_off_bytes:]
+        sh = self.img_off_bits
+        shifted = ((body[:-1].astype(np.uint16) << sh)
+                   | (body[1:].astype(np.uint16) >> (8 - sh))
+                   ).astype(np.uint8)
+        if marker < self.counter_250_end:
+            ch, line = marker // 40, marker % 40
+            need = self.w250 * 12 // 8
+            words = repack_12bit(shifted[:need])[: self.w250]
+            self._blk250[-1][ch, line, : len(words)] = \
+                words.astype(np.uint16) << 4
+        else:
+            m = marker - self.counter_250_end
+            ch, line = m // 10, m % 10
+            need = self.w1000 * 12 // 8
+            words = repack_12bit(shifted[:need])[: self.w1000]
+            self._blk1000[-1][ch, line, : len(words)] = \
+                words.astype(np.uint16) << 4
+
+    def work(self, data: np.ndarray) -> None:
+        """Process a raw byte stream in one pass (whole-pass oriented)."""
+        bits = np.unpackbits(np.asarray(data, np.uint8))
+        heads = self._sync_positions(bits, self.HEAD_SYNC, self.HEAD_BITS)
+        scans = self._sync_positions(bits, self.SCAN_SYNC, self.SCAN_BITS)
+        events = sorted([(p + self.HEAD_BITS, True) for p in heads]
+                        + [(p + self.SCAN_BITS, False) for p in scans])
+        for i, (start, is_head) in enumerate(events):
+            limit = events[i + 1][0] - (self.HEAD_BITS if i + 1 < len(events)
+                                        and events[i + 1][1]
+                                        else self.SCAN_BITS) \
+                if i + 1 < len(events) else len(bits)
+            if is_head:
+                size = self.head_size
+            else:
+                # marker (first 10 bits) decides the frame size
+                if start + 10 > len(bits):
+                    break
+                mk = int(np.packbits(bits[start:start + 8])[0]) << 2 \
+                    | int(np.packbits(bits[start + 8:start + 16])[0]) >> 6 \
+                    if start + 16 <= len(bits) else 0
+                size = self.scan250_size if mk < self.counter_250_end \
+                    else self.scan1000_size
+            end = min(start + size, max(limit, start))
+            chunk = bits[start: end]
+            if len(chunk) < size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros(size - len(chunk), np.uint8)])
+            fbytes = np.packbits(chunk)
+            if is_head:
+                self._process_head(fbytes)
+            else:
+                self._process_scan(fbytes)
+
+    @property
+    def lines(self) -> int:
+        return (self.segments + 1) * 40 if self.segments >= 0 else 0
+
+    def get_channel(self, ch: int) -> np.ndarray:
+        if self.segments < 0:
+            return np.zeros((0, self.w250), np.uint16)
+        if ch < self.c250:
+            return np.concatenate([b[ch] for b in self._blk250])
+        return np.concatenate([b[ch - self.c250] for b in self._blk1000])
+
+
+class MERSI2Reader(MERSIReader):
+    pass
+
+
 @register_module
 class FY3InstrumentsDecoderModule(ProcessingModule):
     """cadu -> FY-3 instrument products (module_fy3_instruments.cpp).
@@ -79,18 +233,26 @@ class FY3InstrumentsDecoderModule(ProcessingModule):
         virr_def = SimpleDeframer(VIRR_SYNC, VIRR_SYNC_BITS,
                                   VIRR_FRAME_BITS, 0)
         virr = VIRRReader()
+        mersi = MERSI2Reader()
+        mersi_zones: List[np.ndarray] = []
         data = np.fromfile(self.d_input_file, np.uint8)
         n = len(data) // 1024
         for i in range(n):
             cadu = data[i * 1024: (i + 1) * 1024]
             vcdu = parse_vcdu(bytes(cadu))
-            if vcdu.vcid == 5:   # VIRR
+            if vcdu.vcid == 5:   # VIRR (FY-3A/B/C)
                 for frm in virr_def.work(np.unpackbits(cadu[14: 14 + 882])):
                     virr.work(frm)
+            elif vcdu.vcid == 3:  # MERSI-2 (FY-3D)
+                mersi_zones.append(cadu[14: 14 + 882])
+        if mersi_zones:
+            mersi.work(np.concatenate(mersi_zones))
 
         out_dir = Path(self.d_output_file_hint).parent
-        ds = DataSet("FengYun-3", float(np.median(virr.timestamps))
-                     if virr.timestamps else -1)
+        ts = virr.timestamps or mersi.timestamps
+        ds = DataSet("FengYun-3",
+                     float(np.median([t for t in ts if t > 0]))
+                     if any(t > 0 for t in ts) else -1)
         if virr.lines:
             p = ImageProduct()
             p.instrument_name = "virr"
@@ -99,6 +261,15 @@ class FY3InstrumentsDecoderModule(ProcessingModule):
             p.contents["timestamps"] = virr.timestamps
             p.save(str(out_dir / "VIRR"))
             ds.products_list.append("VIRR")
+        if mersi.lines:
+            p = ImageProduct()
+            p.instrument_name = "mersi2"
+            for c in range(mersi.c250 + mersi.c1000):
+                p.add_channel(mersi.get_channel(c), str(c + 1), bit_depth=16)
+            p.contents["timestamps"] = mersi.timestamps
+            p.save(str(out_dir / "MERSI-2"))
+            ds.products_list.append("MERSI-2")
         self.d_output_file = ds.save(str(out_dir))
-        self.stats = {"virr_lines": virr.lines}
+        self.stats = {"virr_lines": virr.lines, "mersi_segments":
+                      mersi.segments + 1}
         logger.info(f"FY-3 instruments: {self.stats}")

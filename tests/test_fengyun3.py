@@ -65,3 +65,65 @@ def test_fy3_instruments_module(tmp_path, rng):
     prod = load_product(str(tmp_path / "VIRR"))
     assert len(prod.images) == 10
     assert prod.images[0].image.shape[1] == 2048
+
+
+def test_mersi2_reader_scan_placement(rng):
+    """Synthetic MERSI-2 bit stream: head frame timestamp + scan frames
+    with known 12-bit lines land at the right (channel, line) positions."""
+    from satdump_tpu.models.fengyun3 import MERSI2Reader
+    r = MERSI2Reader()
+
+    def head_frame(days=100, ms=3_600_000):
+        f = np.zeros(r.head_size // 8, np.uint8)
+        t = np.zeros(8, np.uint8)
+        t[0], t[1] = days >> 8, days & 0xFF
+        t[2], t[3], t[4], t[5] = (ms >> 24) & 0xFF, (ms >> 16) & 0xFF, \
+            (ms >> 8) & 0xFF, ms & 0xFF
+        # inverse of _process_head's nibble shuffle
+        f[12] |= t[0] >> 4;  f[13] |= (t[0] & 0xF) << 4
+        f[13] |= t[1] >> 4;  f[11] |= (t[1] & 0xF) << 4
+        f[11] |= t[2] >> 4;  f[12] |= (t[2] & 0xF) << 4
+        f[9] |= t[3] >> 4;   f[10] |= (t[3] & 0xF) << 4
+        f[10] |= t[4] >> 4;  f[8] |= (t[4] & 0xF) << 4
+        f[8] |= t[5] >> 4;   f[9] |= (t[5] & 0xF) << 4
+        return f
+
+    from satdump_tpu.utils.repack import pack_nbits_to_bytes
+
+    def scan_frame(marker, words):
+        is250 = marker < r.counter_250_end
+        size = (r.scan250_size if is250 else r.scan1000_size) // 8
+        f = np.zeros(size, np.uint8)
+        f[0] = marker >> 2
+        f[1] = (marker & 0b11) << 6
+        packed = pack_nbits_to_bytes(words, 12)
+        # imagery at byte offset + 6 bits: place so that the reader's
+        # 6-bit-left-shift recovers `packed`
+        region = f[r.img_off_bytes:]
+        shifted = np.zeros(len(packed) + 1, np.uint8)
+        shifted[0] = packed[0] >> 6
+        shifted[1:] = ((packed.astype(np.uint16) << 2) & 0xFF
+                       ).astype(np.uint8)
+        shifted[1:] |= np.concatenate([packed[1:] >> 6, [0]]).astype(np.uint8)
+        region[: len(shifted)] = shifted[: len(region)]
+        return f
+
+    sync_head = np.array([(r.HEAD_SYNC >> (47 - i)) & 1 for i in range(48)],
+                         np.uint8)
+    sync_scan = np.array([(r.SCAN_SYNC >> (27 - i)) & 1 for i in range(28)],
+                         np.uint8)
+    w250 = rng.integers(0, 4096, r.w250).astype(np.uint16)
+    w1000 = rng.integers(0, 4096, r.w1000).astype(np.uint16)
+    stream_bits = np.concatenate(
+        [sync_head, np.unpackbits(head_frame()),
+         sync_scan, np.unpackbits(scan_frame(0, w250)),          # ch0 line0
+         sync_scan, np.unpackbits(scan_frame(41, w250)),         # ch1 line1
+         sync_scan, np.unpackbits(scan_frame(r.counter_250_end + 12,
+                                             w1000))])           # 1km ch1 l2
+    r.work(np.packbits(stream_bits))
+    assert r.segments == 0
+    exp_ts = (10957 + 100) * 86400.0 + 3600.0 + 12 * 3600
+    assert abs(r.timestamps[0] - exp_ts) < 1e-3
+    np.testing.assert_array_equal(r.get_channel(0)[0], w250 << 4)
+    np.testing.assert_array_equal(r.get_channel(1)[1], w250 << 4)
+    np.testing.assert_array_equal(r.get_channel(r.c250 + 1)[2], w1000 << 4)
