@@ -255,6 +255,59 @@ class ATMSReader:
         return np.stack([r[i] for r in self._rows])
 
 
+class OMPSReader:
+    """OMPS nadir/limb (instruments/omps/omps_{nadir,limb}_reader.cpp):
+    multi-packet frames assembled by sequence flag; the science payload
+    (after a 149-byte header) is szip-compressed 32-bit big-endian words
+    (256 px/scanline, 32 px/block, NN|MSB) holding `nch` channels x `npix`
+    samples at a word offset."""
+
+    def __init__(self, nch: int, npix: int, word_off: int):
+        self.nch = nch
+        self.npix = npix
+        self.word_off = word_off
+        self.lines = 0
+        self._cur = bytearray()
+        self._rows: List[np.ndarray] = []
+        self.timestamps: List[float] = []
+
+    def _finish(self, pkt: CCSDSPacket) -> None:
+        f = bytes(self._cur)
+        if len(f) <= 1000:
+            return
+        end = len(f) - (143 + 6) - (1 if f[141] == 0xEE else 0)
+        comp = f[143 + 6: end]
+        from satdump_tpu.xrit.rice import rice_decode_stream32
+        want = self.word_off + self.nch * self.npix
+        dec = rice_decode_stream32(comp, want, 32, 32, 8)
+        if dec is None:
+            return
+        words = dec[self.word_off:].reshape(self.nch, self.npix)
+        self._rows.append(np.minimum(words, 65535).astype(np.uint16))
+        self.lines += 1
+        self.timestamps.append(parse_ccsds_time(pkt, JPSS_EPOCH_OFFSET_S))
+
+    def work(self, pkt: CCSDSPacket) -> None:
+        if pkt.header.sequence_flag == 1:
+            self._finish(pkt)
+            self._cur = bytearray(pkt.payload)
+        elif pkt.header.sequence_flag in (0, 2):
+            self._cur += pkt.payload
+
+    def get_channel(self, ch: int) -> np.ndarray:
+        if not self._rows:
+            return np.zeros((0, self.npix), np.uint16)
+        return np.stack([r[ch] for r in self._rows])
+
+
+def omps_nadir_reader() -> OMPSReader:
+    return OMPSReader(nch=339, npix=142, word_off=74)
+
+
+def omps_limb_reader() -> OMPSReader:
+    return OMPSReader(nch=135, npix=6, word_off=64)
+
+
 @register_module
 class JPSSInstrumentsDecoderModule(ProcessingModule):
     """cadu -> VIIRS/ATMS products (module_jpss_instruments.cpp)."""
@@ -274,9 +327,13 @@ class JPSSInstrumentsDecoderModule(ProcessingModule):
         dem16 = Demuxer(mpdu, has_insert_zone=insert > 0,
                         insert_zone_size=insert)
 
+        dem11 = Demuxer(mpdu, has_insert_zone=insert > 0,
+                        insert_zone_size=insert)
         viirs = {name: VIIRSReader(ch)
                  for name, ch in VIIRS_CHANNELS.items()}
         atms = ATMSReader()
+        omps_nadir = omps_nadir_reader()
+        omps_limb = omps_limb_reader()
         scids: List[int] = []
 
         data = np.fromfile(self.d_input_file, np.uint8)
@@ -290,6 +347,12 @@ class JPSSInstrumentsDecoderModule(ProcessingModule):
                 for pkt in dem1.work(cadu):
                     if pkt.header.apid == 528:
                         atms.work(pkt)
+            elif vcdu.vcid == 11:    # OMPS
+                for pkt in dem11.work(cadu):
+                    if pkt.header.apid in (616, 560):
+                        omps_nadir.work(pkt)
+                    elif pkt.header.apid in (617, 561):
+                        omps_limb.work(pkt)
             elif vcdu.vcid == 16:    # VIIRS
                 for pkt in dem16.work(cadu):
                     for r in viirs.values():
@@ -348,8 +411,18 @@ class JPSSInstrumentsDecoderModule(ProcessingModule):
             ap.save(str(out_dir / "ATMS"))
             ds.products_list.append("ATMS")
 
+        for nm, rd in (("OMPS-Nadir", omps_nadir), ("OMPS-Limb", omps_limb)):
+            if rd.lines:
+                from satdump_tpu.image.io import save_img
+                d = out_dir / "OMPS" / nm.split("-")[1]
+                d.mkdir(parents=True, exist_ok=True)
+                for c in range(rd.nch):
+                    save_img(rd.get_channel(c), d / f"{nm}-{c + 1}.png")
+
         self.d_output_file = ds.save(str(out_dir))
         self.stats = {"satellite": sat_name, "atms_lines": atms.lines,
                       "viirs_channels": n_viirs,
+                      "omps_nadir_lines": omps_nadir.lines,
+                      "omps_limb_lines": omps_limb.lines,
                       "viirs_i1_segments": len(viirs["I1"].segments)}
         logger.info(f"JPSS instruments: {self.stats}")

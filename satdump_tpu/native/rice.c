@@ -65,16 +65,16 @@ static inline uint32_t unmap(uint32_t x, uint32_t m, uint32_t xmax) {
 }
 
 /* Decode one reference-sample interval from an open bitreader.
- * out: n_out decoded samples (uint16 always); n: bits per sample (<=16);
+ * out: n_out decoded samples (uint32); n: bits per sample (<=32);
  * J: samples per block; returns 0 ok, <0 error. */
-static int decode_interval(bitreader *brp, uint16_t *out,
+static int decode_interval(bitreader *brp, uint32_t *out,
                            int n_out, int n, int J, int preprocess) {
-    if (n < 1 || n > 16 || J < 1 || J > 64 || n_out < 1)
+    if (n < 1 || n > 32 || J < 1 || J > 64 || n_out < 1)
         return -2;
     bitreader br = *brp;
-    int id_len = n <= 8 ? 3 : 4;
+    int id_len = n <= 8 ? 3 : (n <= 16 ? 4 : 5);
     uint32_t uncomp_id = (1u << id_len) - 1;
-    uint32_t xmax = (1u << n) - 1;
+    uint32_t xmax = n == 32 ? 0xFFFFFFFFu : (1u << n) - 1;
     uint32_t mapped[64];
     uint32_t last = 0;
     int idx = 0;       /* samples emitted */
@@ -167,7 +167,7 @@ static int decode_interval(bitreader *brp, uint16_t *out,
             else
                 s = unmap(last, mapped[i], xmax);
             last = s;
-            out[idx + i] = (uint16_t)s;
+            out[idx + i] = s;
         }
         idx += emit;
         block_i++;
@@ -180,15 +180,20 @@ static int decode_interval(bitreader *brp, uint16_t *out,
  * GOES HRIT scanline profile). */
 int rice_decode_rsi(const uint8_t *in, size_t in_bytes, uint16_t *out,
                     int n_out, int n, int J, int preprocess) {
+    uint32_t tmp[8192];
+    if (n_out > 8192 || n > 16)
+        return -2;
     bitreader br = {in, in_bytes * 8, 0};
-    return decode_interval(&br, out, n_out, n, J, preprocess);
+    int rc = decode_interval(&br, tmp, n_out, n, J, preprocess);
+    if (rc == 0)
+        for (int i = 0; i < n_out; i++)
+            out[i] = (uint16_t)tmp[i];
+    return rc;
 }
 
-/* Decode a multi-interval stream: a new reference sample every rsi blocks
- * (libaec semantics with AEC_DATA_PREPROCESS; bit-continuous between
- * intervals — the JPSS VIIRS profile: n=15, J=8, rsi=128). */
-int rice_decode_stream(const uint8_t *in, size_t in_bytes, uint16_t *out,
-                       int n_out, int n, int J, int rsi, int preprocess) {
+/* 32-bit samples (the JPSS OMPS profile: n=32, J=32, MSB|NN), multi-RSI. */
+int rice_decode_stream32(const uint8_t *in, size_t in_bytes, uint32_t *out,
+                         int n_out, int n, int J, int rsi, int preprocess) {
     if (rsi < 1)
         return -2;
     bitreader br = {in, in_bytes * 8, 0};
@@ -198,6 +203,40 @@ int rice_decode_stream(const uint8_t *in, size_t in_bytes, uint16_t *out,
         int rc = decode_interval(&br, out + off, cnt, n, J, preprocess);
         if (rc < 0)
             return rc;
+    }
+    return 0;
+}
+
+/* Decode a multi-interval stream: a new reference sample every rsi blocks
+ * (libaec semantics with AEC_DATA_PREPROCESS; bit-continuous between
+ * intervals — the JPSS VIIRS profile: n=15, J=8, rsi=128). */
+int rice_decode_stream(const uint8_t *in, size_t in_bytes, uint16_t *out,
+                       int n_out, int n, int J, int rsi, int preprocess) {
+    if (rsi < 1 || n > 16)
+        return -2;
+    bitreader br = {in, in_bytes * 8, 0};
+    int per = rsi * J;
+    uint32_t tmp[64];
+    (void)tmp;
+    for (int off = 0; off < n_out; off += per) {
+        int cnt = n_out - off < per ? n_out - off : per;
+        /* decode into a heap-free window: reuse out via widening copy */
+        uint32_t buf32[16384];
+        int done = 0;
+        while (done < cnt) {
+            int c = cnt - done < 16384 ? cnt - done : 16384;
+            /* decode_interval must see the WHOLE interval at once for
+             * reference-sample semantics; cap per to 16384 via rsi */
+            c = cnt; /* intervals are rsi*J <= 16384 for all profiles */
+            if (c > 16384)
+                return -2;
+            int rc = decode_interval(&br, buf32, c, n, J, preprocess);
+            if (rc < 0)
+                return rc;
+            for (int i = 0; i < c; i++)
+                out[off + done + i] = (uint16_t)buf32[i];
+            done += c;
+        }
     }
     return 0;
 }

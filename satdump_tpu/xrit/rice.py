@@ -55,6 +55,30 @@ def rice_decode(data: bytes, pixels: int, bits_per_pixel: int = 8,
     return out.astype(np.uint8) if bits_per_pixel <= 8 else out
 
 
+def rice_decode_stream32(data: bytes, pixels: int, bits_per_pixel: int = 32,
+                         pixels_per_block: int = 32, rsi: int = 8,
+                         preprocess: bool = True) -> Optional[np.ndarray]:
+    """32-bit-sample multi-interval decode (the JPSS OMPS profile:
+    omps_nadir_reader.cpp:18-21 — 32 bpp, 32 px/block, 256 px/scanline ->
+    rsi 8 blocks). Returns uint32 samples or None."""
+    lib = _rice()
+    if not hasattr(lib, "_rs32_init"):
+        lib.rice_decode_stream32.restype = ctypes.c_int
+        lib.rice_decode_stream32.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib._rs32_init = True
+    out = np.zeros(pixels, np.uint32)
+    r = lib.rice_decode_stream32(
+        bytes(data), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), pixels,
+        bits_per_pixel, pixels_per_block, rsi, int(preprocess))
+    if r != 0:
+        return None
+    return out
+
+
 def rice_decode_stream(data: bytes, pixels: int, bits_per_pixel: int = 15,
                        pixels_per_block: int = 8, rsi: int = 128,
                        preprocess: bool = True) -> Optional[np.ndarray]:
@@ -142,7 +166,7 @@ def _encode_interval(w: "_BitWriter", samples: np.ndarray,
     if pad:
         x = np.concatenate([x, np.repeat(x[-1], pad)])
     m = _map_samples(x, xmax) if preprocess else x.copy()
-    id_len = 3 if n <= 8 else 4
+    id_len = 3 if n <= 8 else (4 if n <= 16 else 5)
     uncomp_id = (1 << id_len) - 1
     nblocks = len(x) // J
     bi = 0
@@ -169,7 +193,7 @@ def _encode_interval(w: "_BitWriter", samples: np.ndarray,
             cost = int((body >> k).sum()) + len(body) * (1 + k)
             if best_bits is None or cost < best_bits:
                 best_bits, best = cost, ("split", k)
-        if len(body) % 2 == 0:
+        if len(body) % 2 == 0 and n <= 16:  # SE cost overflows at n>16
             pairs = body.reshape(-1, 2)
             se = pairs[:, 0] + pairs[:, 1]
             se_vals = se * (se + 1) // 2 + pairs[:, 1]

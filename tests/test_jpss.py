@@ -236,3 +236,30 @@ def test_jpss_instruments_module(tmp_path, rng):
     assert ch.image.shape[1] == 3200
     ap = load_product(str(tmp_path / "ATMS"))
     assert ap.get_channel("5").image.shape == (1, 96)
+
+
+def test_omps_nadir_reader(rng):
+    """OMPS frame: szip-compressed 32-bit words -> channels
+    (omps_nadir_reader.cpp:30-70)."""
+    from satdump_tpu.models.jpss import omps_nadir_reader
+    from satdump_tpu.xrit.rice import rice_encode
+    r = omps_nadir_reader()
+    vals = rng.integers(0, 60000, (339, 142), dtype=np.int64)
+    words = np.zeros(74 + 339 * 142, np.uint32)
+    words[74:] = vals.reshape(-1)
+    comp = rice_encode(words, 32, 32, rsi=8)
+    # reference strips 149 header AND 149 trailer bytes
+    frame = bytearray(149) + comp + bytearray(149)
+    # feed as packets: first (seq 1) then continuation, then a new seq-1
+    # packet triggers processing of the previous frame
+    h1 = CCSDSHeader(apid=616, sequence_flag=1)
+    r.work(CCSDSPacket(header=h1, payload=bytearray(frame[:1000])))
+    h0 = CCSDSHeader(apid=616, sequence_flag=0)
+    r.work(CCSDSPacket(header=h0, payload=bytearray(frame[1000:])))
+    h2 = CCSDSHeader(apid=616, sequence_flag=1)
+    r.work(CCSDSPacket(header=h2, payload=bytearray(
+        _cds_time(20000, 0) + bytes(8))))
+    assert r.lines == 1
+    got = np.stack([r.get_channel(c)[0] for c in range(339)])
+    np.testing.assert_array_equal(got, np.minimum(vals, 65535
+                                                  ).astype(np.uint16))
