@@ -218,6 +218,79 @@ class MERSI2Reader(MERSIReader):
     pass
 
 
+def fengyun_diff_decode(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """FengYun QPSK differential decode (diff.cpp work2), vectorized:
+    per symbol, (x^y) selects which rail-pair XOR lands in which output
+    bit. Returns interleaved bits [b1, b0, b1, b0, ...]; the first symbol
+    has no predecessor and is dropped."""
+    x = np.asarray(x, np.uint8)
+    y = np.asarray(y, np.uint8)
+    n = min(len(x), len(y))
+    x, y = x[:n], y[:n]
+    xd = (x[1:] ^ x[:-1])
+    yd = (y[1:] ^ y[:-1])
+    cond = (x[1:] ^ y[1:]) == 1
+    b1 = np.where(cond, yd, xd)
+    b0 = np.where(cond, xd, yd)
+    out = np.empty(2 * (n - 1), np.uint8)
+    out[0::2], out[1::2] = b1, b0
+    return out
+
+
+@register_module
+class FengyunAHRPTDecoderModule(ProcessingModule):
+    """FY-3 AHRPT soft -> cadu (module_fengyun_ahrpt_decoder.cpp): the I
+    and Q rails carry two INDEPENDENT k=7 r=1/2 streams, Viterbi-decoded
+    separately, recombined by the FengYun differential decoder, then
+    CCSDS deframe (1024 B) + derand + RS(223) x4. Branch order is
+    ambiguous; both orders are tried and the one yielding frames wins."""
+
+    id = "fengyun_ahrpt_decoder"
+
+    def process(self):
+        from satdump_tpu.ops.fec.deframer import CCSDSDeframer
+        from satdump_tpu.ops.fec.randomization import derand_ccsds
+        from satdump_tpu.ops.fec.reed_solomon import ReedSolomon
+        from satdump_tpu.ops.fec.rotation import PHASE_0, PHASE_180
+        from satdump_tpu.pipeline.modules.ccsds.viterbi_sync import \
+            Viterbi12Sync
+
+        out_path = self.d_output_file_hint + ".cadu"
+        self.d_output_file = out_path
+        soft = np.fromfile(self.d_input_file, np.int8)
+        rails = [soft[0::2], soft[1::2]]
+        bits = []
+        bers = []
+        for rail in rails:
+            v = Viterbi12Sync(0.30, 10, phases=[PHASE_0, PHASE_180])
+            bits.append(v.work(rail, last=True))
+            bers.append(v.ber)
+        rs = ReedSolomon(k=223)
+        best = None
+        for order in ((0, 1), (1, 0)):
+            stream = fengyun_diff_decode(bits[order[0]], bits[order[1]])
+            frames = CCSDSDeframer(1024 * 8).work(stream)
+            if best is None or len(frames) > len(best):
+                best = frames
+        nframes = 0
+        rs_avg = []
+        with open(out_path, "wb") as f:
+            if best:
+                cadus = np.stack(best).astype(np.uint8)
+                cadus[:, 4:] = derand_ccsds(cadus[:, 4:])
+                corrected, errs = rs.decode_interleaved(
+                    cadus[:, 4: 4 + 255 * 4], True, 4)
+                cadus[:, 4: 4 + 255 * 4] = corrected
+                rs_avg.append(errs.reshape(-1))
+                f.write(cadus.tobytes())
+                nframes = len(cadus)
+        self.stats = {"frames": nframes,
+                      "viterbi_ber": float(np.mean(bers)) if bers else 1.0,
+                      "rs_avg": float(np.mean(np.concatenate(rs_avg)))
+                      if rs_avg else 0.0}
+        logger.info(f"FY-3 AHRPT: {nframes} CADUs")
+
+
 @register_module
 class FY3InstrumentsDecoderModule(ProcessingModule):
     """cadu -> FY-3 instrument products (module_fy3_instruments.cpp).

@@ -127,3 +127,60 @@ def test_mersi2_reader_scan_placement(rng):
     np.testing.assert_array_equal(r.get_channel(0)[0], w250 << 4)
     np.testing.assert_array_equal(r.get_channel(1)[1], w250 << 4)
     np.testing.assert_array_equal(r.get_channel(r.c250 + 1)[2], w1000 << 4)
+
+
+def _fengyun_diff_encode(bits: np.ndarray) -> tuple:
+    """Inverse of fengyun_diff_decode: brute-force each symbol's (x, y)."""
+    from satdump_tpu.models.fengyun3 import fengyun_diff_decode
+    b1, b0 = bits[0::2], bits[1::2]
+    n = len(b1)
+    x = np.zeros(n + 1, np.uint8)
+    y = np.zeros(n + 1, np.uint8)
+    for k in range(n):
+        for xx in (0, 1):
+            for yy in (0, 1):
+                xd, yd = xx ^ x[k], yy ^ y[k]
+                cond = (xx ^ yy) == 1
+                bb1 = yd if cond else xd
+                bb0 = xd if cond else yd
+                if bb1 == b1[k] and bb0 == b0[k]:
+                    x[k + 1], y[k + 1] = xx, yy
+                    break
+            else:
+                continue
+            break
+    return x, y
+
+
+def test_fengyun_diff_roundtrip(rng):
+    from satdump_tpu.models.fengyun3 import fengyun_diff_decode
+    bits = rng.integers(0, 2, 2000).astype(np.uint8)
+    x, y = _fengyun_diff_encode(bits)
+    dec = fengyun_diff_decode(x, y)
+    np.testing.assert_array_equal(dec, bits[: len(dec)])
+
+
+def test_fengyun_ahrpt_decoder(tmp_path, rng):
+    """CADUs -> dual-rail conv-encoded FY-3 AHRPT softs -> decoder."""
+    from satdump_tpu import sim
+    from satdump_tpu.models.fengyun3 import FengyunAHRPTDecoderModule
+    from satdump_tpu.ops.fec import convolutional as cc
+    from satdump_tpu.ops.fec.randomization import derand_ccsds
+
+    cadus = sim.make_cadus(8, rng)
+    tx = cadus.copy()
+    tx[:, 4:] = derand_ccsds(tx[:, 4:])
+    bits = np.unpackbits(tx.reshape(-1))
+    x, y = _fengyun_diff_encode(bits)
+    ei = cc.conv_encode_batch(x)
+    eq = cc.conv_encode_batch(y)
+    soft = np.empty(2 * min(len(ei), len(eq)), np.int8)
+    soft[0::2] = np.where(ei[: len(soft) // 2] > 0, 90, -90)
+    soft[1::2] = np.where(eq[: len(soft) // 2] > 0, 90, -90)
+    p = tmp_path / "f.soft"
+    soft.tofile(p)
+    mod = FengyunAHRPTDecoderModule(str(p), str(tmp_path / "out"), {})
+    mod.process()
+    got = np.fromfile(mod.d_output_file, np.uint8).reshape(-1, 1024)
+    matched = sum(bool((cadus == g).all(axis=1).any()) for g in got)
+    assert matched >= 7, f"decoded {matched}/8"
