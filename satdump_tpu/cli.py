@@ -129,6 +129,33 @@ def cmd_process(args, extra: List[str]) -> int:
     return 0
 
 
+def cmd_ingest(args, extra: List[str]) -> int:
+    """Firstparty archive files (.nat/HSD/.nc/HDF) -> products (+ optional
+    composite processing), ref plugins/firstparty_support/main_loader.cpp."""
+    from satdump_tpu.products.firstparty import ingest_files
+    from satdump_tpu.products.product import DataSet
+
+    prods = ingest_files(args.inputs)
+    if not prods:
+        print("no products recognized", file=sys.stderr)
+        return 1
+    ds = DataSet()
+    for p in prods:
+        sub = Path(args.output) / (p.instrument_name or "product")
+        p.save(str(sub))
+        ds.products_list.append(p.instrument_name or "product")
+        if p.has_product_source() and not ds.satellite_name:
+            ds.satellite_name = p.get_product_source()
+        if p.has_product_timestamp() and ds.timestamp < 0:
+            ds.timestamp = p.get_product_timestamp()
+    print(ds.save(args.output))
+    if args.process:
+        from satdump_tpu.products.processor import process_path
+        for f in process_path(args.output):
+            print(f)
+    return 0
+
+
 def cmd_probe(args, extra: List[str]) -> int:
     import jax
     devs = jax.devices()
@@ -336,6 +363,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("output", nargs="?", default=None)
     p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("ingest",
+                       help="ingest firstparty files (.nat/HSD/.nc/HDF)")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--process", action="store_true",
+                   help="also run the products processor (composites)")
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("probe", help="list accelerator devices")
     p.set_defaults(fn=cmd_probe)
