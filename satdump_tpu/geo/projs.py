@@ -215,11 +215,15 @@ _INVERSE = {"equirectangular": equirect_inverse, "equirect": equirect_inverse,
             "tmerc": tmerc_inverse, "tpers": tpers_inverse}
 
 
-def _kwargs(cfg: dict) -> dict:
+def _kwargs(cfg: dict, fn=None) -> dict:
     out = {}
     for k in ("lon0", "lat0", "lat_ts", "sweep_x", "altitude", "tilt", "azi"):
         if k in cfg:
             out[k] = cfg[k]
+    if fn is not None:  # drop params the projection doesn't take
+        import inspect
+        allowed = set(inspect.signature(fn).parameters)
+        out = {k: v for k, v in out.items() if k in allowed}
     return out
 
 
@@ -227,11 +231,11 @@ def forward(cfg: dict, lon, lat) -> Tuple[np.ndarray, np.ndarray]:
     t = cfg.get("type", "equirectangular")
     if t not in _FORWARD:
         raise ValueError(f"unknown projection '{t}'")
-    return _FORWARD[t](lon, lat, **_kwargs(cfg))
+    return _FORWARD[t](lon, lat, **_kwargs(cfg, _FORWARD[t]))
 
 
 def inverse(cfg: dict, x, y) -> Tuple[np.ndarray, np.ndarray]:
     t = cfg.get("type", "equirectangular")
     if t not in _INVERSE:
         raise ValueError(f"unknown projection '{t}'")
-    return _INVERSE[t](x, y, **_kwargs(cfg))
+    return _INVERSE[t](x, y, **_kwargs(cfg, _INVERSE[t]))
