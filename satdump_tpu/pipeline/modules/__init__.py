@@ -10,3 +10,4 @@ import satdump_tpu.xrit.gk2a  # noqa: F401
 import satdump_tpu.xrit.geo  # noqa: F401
 import satdump_tpu.pipeline.modules.convert  # noqa: F401
 import satdump_tpu.pipeline.modules.inmarsat  # noqa: F401
+import satdump_tpu.pipeline.modules.analog  # noqa: F401
