@@ -99,3 +99,78 @@ class FMDemodModule(BaseDemodModule):
 @register_module
 class NOAAAPTDemodModule(FMDemodModule):
     id = "noaa_apt_demod"
+
+
+@register_module
+class AMDemodModule(FMDemodModule):
+    """AM envelope -> WAV (ref plugins/analog_support/generic/
+    analog_am_demod.cpp: AGC -> resample -> carrier PLL -> |x|; the
+    envelope is carrier-phase invariant, so the feedforward chain here is
+    AGC -> resample -> |x| -> DC block, device-resident)."""
+
+    id = "am_demod"
+
+    def _build(self):
+        super()._build()  # reuse rate/resampler setup, then swap the step
+        self.compute_rates()
+        audio_rate = self.d_symbolrate
+        interp, decim = resamp.make_rational(self.final_samplerate, audio_rate)
+        proto = resamp.design_resampler_taps(interp, decim)
+        r_bank = firdes.polyphase_bank(proto, interp)
+        out_n = self.block_size * interp // decim
+        agc_rate = self.d_agc_rate
+
+        def step(state, x):
+            agc_st, rs_st, dc_st = state
+            agc_st, x = stages.agc_block(agc_st, x, rate=agc_rate)
+            rs_st, x, _ = resamp.rational_resampler(rs_st, x, r_bank, interp,
+                                                    decim, out_cap=out_n)
+            env = jnp.abs(x).astype(jnp.complex64)
+            dc_st, env = stages.dc_block(dc_st, env, alpha=1e-3)
+            y = jnp.clip(jnp.real(env), -1.0, 1.0)
+            return (agc_st, rs_st, dc_st), y
+
+        self._step = jax.jit(step, donate_argnums=0)
+        self._state = (
+            stages.agc_init(),
+            resamp.rational_resampler_init(interp, r_bank.shape[1]),
+            stages.dc_block_init(),
+        )
+
+
+@register_module
+class SSBDemodModule(FMDemodModule):
+    """SSB (USB/LSB) -> WAV (ref analog_ssb_demod.cpp: resample -> shift
+    by -+bw/2 -> band filter -> Re). parameter `sideband`: usb|lsb."""
+
+    id = "ssb_demod"
+
+    def _build(self):
+        super()._build()
+        self.compute_rates()
+        audio_rate = self.d_symbolrate
+        interp, decim = resamp.make_rational(self.final_samplerate, audio_rate)
+        proto = resamp.design_resampler_taps(interp, decim)
+        r_bank = firdes.polyphase_bank(proto, interp)
+        out_n = self.block_size * interp // decim
+        agc_rate = self.d_agc_rate
+        sideband = str(self.param("sideband", "usb")).lower()
+        sign = -1.0 if sideband == "usb" else 1.0
+        # shift the wanted sideband's center down to baseband audio
+        phase_delta = sign * np.pi * 0.5  # bw/2 = audio_rate/4 at audio rate
+
+        def step(state, x):
+            agc_st, rs_st, fs_st = state
+            agc_st, x = stages.agc_block(agc_st, x, rate=agc_rate)
+            rs_st, x, _ = resamp.rational_resampler(rs_st, x, r_bank, interp,
+                                                    decim, out_cap=out_n)
+            fs_st, x = stages.freq_shift(fs_st, x, phase_delta)
+            y = jnp.clip(jnp.real(x), -1.0, 1.0)
+            return (agc_st, rs_st, fs_st), y
+
+        self._step = jax.jit(step, donate_argnums=0)
+        self._state = (
+            stages.agc_init(),
+            resamp.rational_resampler_init(interp, r_bank.shape[1]),
+            stages.freq_shift_init(),
+        )
