@@ -140,10 +140,17 @@ def cmd_ingest(args, extra: List[str]) -> int:
         print("no products recognized", file=sys.stderr)
         return 1
     ds = DataSet()
+    used = set()
     for p in prods:
-        sub = Path(args.output) / (p.instrument_name or "product")
+        name = base = p.instrument_name or "product"
+        i = 1
+        while name in used:       # two same-instrument products must not
+            i += 1                # overwrite each other's directory
+            name = f"{base}_{i}"
+        used.add(name)
+        sub = Path(args.output) / name
         p.save(str(sub))
-        ds.products_list.append(p.instrument_name or "product")
+        ds.products_list.append(name)
         if p.has_product_source() and not ds.satellite_name:
             ds.satellite_name = p.get_product_source()
         if p.has_product_timestamp() and ds.timestamp < 0:

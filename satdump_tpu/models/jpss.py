@@ -10,7 +10,8 @@ Behavioral equivalent of plugins/jpss_support/jpss/:
 * jpss_instruments module (module_jpss_instruments.cpp): CADU -> VCID 1
   (ATMS) / VCID 16 (VIIRS) demux -> readers -> ImageProducts + dataset.
 
-OMPS (32-bit Rice profile) is not implemented yet.
+* OMPS nadir/limb readers (instruments/omps/omps_*_reader.cpp): see
+  OmpsNadirReader / OmpsLimbReader below.
 """
 
 from __future__ import annotations

@@ -52,6 +52,20 @@ def radiance_to_temperature(L, v):
     return np.where(L > 0, C2 * v / np.log(1.0 + C1 * v ** 3 / safe), 0.0)
 
 
+def spectral_radiance_to_radiance(L, wavenumber):
+    """Band spectral radiance (the W/(m^2.sr.um)-style convention of the
+    GOES-R/AHI L1b emissive products) -> radiance at the channel wavenumber
+    via the equivalent brightness temperature. Vectorized
+    (ref common/calibration.cpp:10-17, constants and form matched exactly)."""
+    L = np.asarray(L, np.float64)
+    c_1 = 1.191042e8
+    c_2 = 1.4387752e4
+    lam = (1e7 / wavenumber) / 1e3          # wavelength, um
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = c_2 / (lam * np.log(c_1 / (lam ** 5 * L + 1.0)))
+    return temperature_to_radiance(np.nan_to_num(t), wavenumber)
+
+
 def freq_to_wavenumber(freq_hz):
     return np.asarray(freq_hz, np.float64) / 29979245800.0
 

@@ -64,7 +64,7 @@ def ingest_files(paths: Sequence[str]) -> List[Product]:
                 products.append(p)
     if hsd_acc is not None and hsd_acc.channels:
         products.append(hsd_acc.to_product())
-    return products
+    return hdf_nc.merge_abi_products(products)
 
 
 def ingest_file(path: str) -> Optional[Product]:

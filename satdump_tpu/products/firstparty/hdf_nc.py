@@ -35,6 +35,11 @@ except Exception:  # pragma: no cover - h5py is present in the image
 
 HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
 
+# ABI band center wavelengths, nm (ref abi_nc.cpp:150-166
+# goes_abi_wavelength_table) -> channel wavenumber = 1e7/wavelength
+ABI_WAVELENGTH_NM = (470, 640, 860, 1380, 1610, 2260, 3900, 6190,
+                     6950, 7340, 8500, 9610, 10350, 11200, 12300, 13300)
+
 
 def _attr(obj, name, default=None):
     v = obj.attrs.get(name, default)
@@ -85,11 +90,17 @@ def parse_abi_nc(f) -> Optional[ImageProduct]:
                         "offset_x": xo, "offset_y": yo,
                         "width": img.shape[1], "height": img.shape[0]})
 
-    p.add_channel(img, str(band), abs_index=band - 1, bit_depth=bit_depth,
+    # storage is <<(16-depth)-shifted, so the DECLARED depth is 16 (repo
+    # convention: declared depth == storage scaling; the calibration scale
+    # above is pre-divided to match)
+    p.add_channel(img, str(band), abs_index=band - 1, bit_depth=16,
+                  wavenumber=1e7 / ABI_WAVELENGTH_NM[band - 1],
                   calibration_type=("albedo" if kappa > 0
                                     else "emissive_radiance"))
+    # ABI L1b Rad is already band radiance -> spectral=false
+    # (ref abi_nc.cpp:176 is_spectral=false; AHI HSD is the spectral one)
     cal = {"scale": [0.0] * 16, "offset": [0.0] * 16,
-           "kappa": [-999.0] * 16, "spectral": True}
+           "kappa": [-999.0] * 16, "spectral": False}
     cal["scale"][band - 1] = scale
     cal["offset"][band - 1] = offset
     cal["kappa"][band - 1] = kappa
@@ -145,6 +156,47 @@ def parse_hdf_generic(f, instrument="hdf") -> Optional[ImageProduct]:
         scaled = ((a - lo) / (hi - lo or 1.0) * 65535).astype(np.uint16)
         p.add_channel(scaled, name.replace("/", "_"), abs_index=i)
     return p
+
+
+def merge_abi_products(prods: List[ImageProduct]) -> List[ImageProduct]:
+    """Fold single-band ABI .nc products (the normal one-file-per-band
+    distribution) into ONE multi-channel product, the way the reference's
+    ABINcProcessor accumulates all files before push (abi_nc.cpp:168-190).
+    Non-ABI products pass through untouched; channel transforms rescale
+    the 0.5/1/2 km bands onto the largest grid."""
+    from satdump_tpu.products.image_product import ChannelTransform
+    abi = [p for p in prods if p.instrument_name == "abi"]
+    if len(abi) <= 1:
+        return prods
+    out = [p for p in prods if p.instrument_name != "abi"]
+    base = max(abi, key=lambda p: p.images[0].image.size)
+    bh, bw = base.images[0].image.shape
+    cal = {"scale": [0.0] * 16, "offset": [0.0] * 16,
+           "kappa": [-999.0] * 16, "spectral": False}
+    for p in abi:
+        _, c = p.get_calibration()
+        for k in ("scale", "offset", "kappa"):
+            for i, v in enumerate(c["vars"][k]):
+                if v not in (0.0, -999.0):
+                    cal[k][i] = v
+    merged = ImageProduct()
+    merged.instrument_name = "abi"
+    merged.set_product_source(base.get_product_source())
+    if base.has_product_timestamp():
+        merged.set_product_timestamp(base.get_product_timestamp())
+    if base.has_proj_cfg():
+        merged.set_proj_cfg(base.get_proj_cfg())
+    for p in sorted(abi, key=lambda p: p.images[0].abs_index):
+        h = p.images[0]
+        hh, hw = h.image.shape
+        merged.add_channel(
+            h.image, h.channel_name, abs_index=h.abs_index,
+            bit_depth=h.bit_depth,
+            wavenumber=h.wavenumber, calibration_type=h.calibration_type,
+            ch_transform=ChannelTransform.affine(bw / hw, bh / hh, 0, 0))
+    merged.set_calibration("goes_nc_abi", {"vars": cal})
+    out.append(merged)
+    return out
 
 
 class Fy4AgriLutCalibrator(ImageCalibrator):

@@ -53,7 +53,10 @@ class AhiHsdAccumulator:
 
         ncols, nlines_seg = struct.unpack_from("<HH", data, offs[B_DATA] + 5)
         bit_depth = data[offs[B_CAL] + 13]
-        seg_no = struct.unpack_from("<H", data, offs[B_SEGMENT] + 5)[0]
+        # segment block: +3 total segments (u8), +4 sequence number (u8),
+        # +5 FIRST LINE NUMBER of this segment (u16, 1-based) — the pixel
+        # placement key (ref ahi_hsd.cpp:71 pixel_offset = ncols*(val-1))
+        first_line = struct.unpack_from("<H", data, offs[B_SEGMENT] + 5)[0]
         channel = struct.unpack_from("<H", data, offs[B_CAL] + 3)[0]
         if not 1 <= channel <= 16:
             return False
@@ -88,7 +91,9 @@ class AhiHsdAccumulator:
             data, np.dtype("<u2"), ncols * nlines_seg, offs[B_DATABLOCK]
         ).astype(np.uint16)
         px = np.where(px >= 65534, 0, px) << (16 - bit_depth)
-        line0 = (seg_no - 1) * nlines_seg
+        line0 = first_line - 1
+        if line0 + nlines_seg > st["img"].shape[0]:
+            return False
         st["img"][line0:line0 + nlines_seg] = px.reshape(nlines_seg, ncols)
         return True
 
@@ -129,18 +134,30 @@ class AhiHsdAccumulator:
 
 
 class GoesNcAbiCalibrator(ImageCalibrator):
-    """Spectral radiance = offset + counts*scale (scale pre-divided to the
-    stored 16-bit range); reflective channels (kappa>0) -> albedo% =
-    100*kappa*radiance (ref goes_support ABI/AHI calibrator semantics,
-    abi_nc.cpp:28-34 + GOES-R PUG L1b radiance->reflectance)."""
+    """Radiance = offset + counts*scale (scale pre-divided to the stored
+    16-bit range). Reflective channels (kappa>0) -> albedo fraction =
+    kappa*radiance; emissive channels with spectral=true -> band spectral
+    radiance converted to radiance at the channel wavenumber (ref
+    abi_nc_calibrator.h:40-54 compute(), exact same branch structure)."""
+
+    def _wavenumber(self, channel_idx: int) -> float:
+        for h in getattr(self.product, "images", []):
+            if h.abs_index == channel_idx:
+                return h.wavenumber or 0.0
+        return 0.0
 
     def compute(self, channel_idx: int, counts: np.ndarray) -> np.ndarray:
+        from satdump_tpu.products.calibration import \
+            spectral_radiance_to_radiance
         v = self.cfg["vars"]
         c = np.asarray(counts, np.float64)
         rad = v["offset"][channel_idx] + c * v["scale"][channel_idx]
         kappa = v.get("kappa", [-999.0] * 16)[channel_idx]
-        if v.get("spectral") and kappa > 0:
-            return 100.0 * kappa * rad
+        if kappa > 0:
+            return kappa * rad
+        if v.get("spectral"):
+            return spectral_radiance_to_radiance(
+                rad, self._wavenumber(channel_idx))
         return rad
 
 

@@ -162,10 +162,25 @@ def parse_seviri_nat(data: bytes) -> Optional[ImageProduct]:
     })
     for ch in sorted(imgs):
         img = imgs[ch][::-1, ::-1]  # full mirror (seviri_nat.cpp:270)
+        if ch == 11 and vis_y == 1392:
+            # RSS special case: re-place HRV columns by LowerEastColumnActual
+            # after the mirror (seviri_nat.cpp:269-282: new_col = i - LEC)
+            shifted = np.zeros_like(img)
+            lec = lower_east_col
+            if lec >= 0:
+                if lec < img.shape[1]:
+                    shifted[:, : img.shape[1] - lec] = img[:, lec:]
+            else:
+                if -lec < img.shape[1]:
+                    shifted[:, -lec:] = img[:, : img.shape[1] + lec]
+            img = shifted
         tr = ChannelTransform.none()
         if ch == 11:
             tr = ChannelTransform.affine(vis_x / hrv_x, vis_y / hrv_y, 0, 0)
-        p.add_channel(img, str(ch + 1), abs_index=ch, bit_depth=10,
+        # storage is <<6-shifted 10-bit counts -> declared depth 16 (repo
+        # convention: declared depth == storage scaling; the calibrator
+        # divides by 64 to recover 10-bit counts)
+        p.add_channel(img, str(ch + 1), abs_index=ch, bit_depth=16,
                       wavenumber=freq_to_wavenumber(
                           299792458.0 / SEVIRI_WAVELENGTHS[ch]),
                       calibration_type=("reflective_radiance"

@@ -122,7 +122,11 @@ def make_hsd_segment(seg_no, nsegs=2, ncols=8, nlines=4, channel=1,
     buf[offs[4] + 19:offs[4] + 35] = struct.pack("<dd", 0.3, -2.0)
     buf[offs[4] + 35:offs[4] + 43] = struct.pack("<d", 0.002)
     buf[offs[6] + 3] = nsegs
-    buf[offs[6] + 5:offs[6] + 7] = struct.pack("<H", seg_no)
+    buf[offs[6] + 4] = seg_no  # sequence number (u8)
+    # +5: FIRST LINE NUMBER of this segment (u16, 1-based) — the real HSD
+    # placement key (ahi_hsd.cpp:71), not a segment index
+    buf[offs[6] + 5:offs[6] + 7] = struct.pack(
+        "<H", (seg_no - 1) * nlines + 1)
 
     px = ((seg_no * 1000 + np.arange(ncols * nlines)) % 2047).astype("<u2")
     px[3] = 65535  # fill pixel -> 0
@@ -150,10 +154,11 @@ def test_hsd_two_segments(tmp_path):
     np.testing.assert_array_equal(img, exp)
     cfg = p.get_proj_cfg()
     assert cfg["type"] == "geos" and abs(cfg["lon0"] - 140.7) < 1e-9
-    # reflective channel (kappa>0) -> albedo %
+    # reflective channel (kappa>0) -> albedo = kappa*radiance, applied
+    # unconditionally as the reference does (abi_nc_calibrator.h:49-50)
     cal = calibrate_channel(p, "1")
     rad = -2.0 + exp.astype(float) * (0.3 / 32.0)
-    np.testing.assert_allclose(cal, 100.0 * 0.002 * rad, rtol=1e-9)
+    np.testing.assert_allclose(cal, 0.002 * rad, rtol=1e-9)
 
 
 # ------------------------------------------------------------- HDF5 / netCDF
@@ -161,20 +166,21 @@ def test_hsd_two_segments(tmp_path):
 h5py = pytest.importorskip("h5py")
 
 
-def make_abi_nc(path):
-    img = (np.arange(48, dtype=np.uint16).reshape(6, 8) * 300) % 16383
+def make_abi_nc(path, band=7, shape=(6, 8), kappa=np.nan):
+    img = (np.arange(shape[0] * shape[1], dtype=np.uint16
+                     ).reshape(shape) * 300) % 16383
     img[0, 0] = 16383  # fill
     with h5py.File(path, "w") as f:
         rad = f.create_dataset("Rad", data=img)
         rad.attrs["scale_factor"] = np.float64(0.1)
         rad.attrs["add_offset"] = np.float64(-1.0)
         rad.attrs["sensor_band_bit_depth"] = np.int32(14)
-        f.create_dataset("band_id", data=np.array([7], np.int8))
-        f.create_dataset("kappa0", data=np.array([np.nan]))
-        x = f.create_dataset("x", data=np.arange(8, dtype=np.int16))
+        f.create_dataset("band_id", data=np.array([band], np.int8))
+        f.create_dataset("kappa0", data=np.array([kappa]))
+        x = f.create_dataset("x", data=np.arange(shape[1], dtype=np.int16))
         x.attrs["scale_factor"] = np.float64(5.6e-5)
         x.attrs["add_offset"] = np.float64(-0.1)
-        y = f.create_dataset("y", data=np.arange(6, dtype=np.int16))
+        y = f.create_dataset("y", data=np.arange(shape[0], dtype=np.int16))
         y.attrs["scale_factor"] = np.float64(-5.6e-5)
         y.attrs["add_offset"] = np.float64(0.1)
         gp = f.create_dataset("goes_imager_projection", data=np.int8(0))
@@ -198,6 +204,35 @@ def test_abi_nc(tmp_path):
     assert cfg["sweep_x"] is True and abs(cfg["lon0"] + 75.0) < 1e-9
     cal = calibrate_channel(p, "7")  # IR: radiance
     np.testing.assert_allclose(cal, -1.0 + exp.astype(float) * 0.1 / 4.0,
+                               rtol=1e-9)
+
+
+def test_abi_nc_multiband_merge(tmp_path):
+    """One .nc per band (the normal distribution) -> ONE multi-channel
+    product, as the reference's ABINcProcessor accumulates
+    (abi_nc.cpp:168-190); earlier bands must not be overwritten."""
+    from satdump_tpu.products.firstparty import ingest_files
+    p2 = tmp_path / "OR_ABI-L1b-RadF-M6C02_G16.nc"
+    p7 = tmp_path / "OR_ABI-L1b-RadF-M6C07_G16.nc"
+    img2 = make_abi_nc(str(p2), band=2, shape=(12, 16), kappa=0.0015)
+    img7 = make_abi_nc(str(p7), band=7)
+    prods = ingest_files([str(p2), str(p7)])
+    assert len(prods) == 1
+    p = prods[0]
+    assert {h.channel_name for h in p.images} == {"2", "7"}
+    exp7 = (np.where(img7 >= 16383, 0, img7).astype(np.uint16)) << 2
+    np.testing.assert_array_equal(p.get_channel("7").image, exp7)
+    # band 7 (6x8) maps onto the base 12x16 grid via its transform
+    t = p.get_channel("7").ch_transform
+    assert t.ax == 2.0 and t.ay == 2.0
+    # reflective band: kappa applied, no x100
+    cal2 = calibrate_channel(p, "2")
+    exp2 = (np.where(img2 >= 16383, 0, img2).astype(np.uint16)) << 2
+    np.testing.assert_allclose(
+        cal2, 0.0015 * (-1.0 + exp2.astype(float) * 0.1 / 4.0), rtol=1e-9)
+    # IR band still plain radiance (is_spectral=false for ABI .nc)
+    cal7 = calibrate_channel(p, "7")
+    np.testing.assert_allclose(cal7, -1.0 + exp7.astype(float) * 0.1 / 4.0,
                                rtol=1e-9)
 
 
