@@ -99,14 +99,21 @@ class CCSDSConvConcatDecoderModule(ProcessingModule):
         vit = self.viterbi
         buf = np.concatenate([self._dev_lead, np.asarray(chunk, np.int8)])
         if vit.state == ST_IDLE:
-            if len(buf) >= 2048 and vit._search(buf):
-                logger.info(f"Viterbi lock: phase {vit.phase} shift "
-                            f"{vit.shift} swap {vit.iq_swap} ber {vit.ber:.3f}")
-                buf = buf[vit.shift:]            # one-time pair realignment
+            # scan the WHOLE chunk for lock (signal may start mid-stream
+            # after a noise lead-in; the head-only probe would discard it)
+            off = vit.search_stream(buf) if len(buf) >= 2048 else -1
+            if off >= 0:
+                logger.info(f"Viterbi lock: offset {off} phase {vit.phase} "
+                            f"shift {vit.shift} swap {vit.iq_swap} "
+                            f"ber {vit.ber:.3f}")
+                buf = buf[off + vit.shift:]      # one-time pair realignment
                 self._dev_state = self._chain.init_state()
                 self.nrzm_last = 0
             else:
-                self._dev_lead = np.zeros(0, np.int8)
+                # keep a window of tail context so a signal start spanning
+                # the chunk boundary is still found next call
+                self._dev_lead = buf[-(2048 + 2):].copy() \
+                    if len(buf) > 2048 else buf
                 self._update_stats()
                 return 0
         keep = len(buf) // 2 * 2                  # chain consumes whole pairs

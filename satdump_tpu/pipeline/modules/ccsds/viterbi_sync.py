@@ -117,6 +117,74 @@ class Viterbi12Sync:
             self.depunc.set_shift(self.shift)
         return True
 
+    def search_stream(self, soft: np.ndarray, stride: int = TEST_BITS,
+                      max_lanes: int = 1024) -> int:
+        """Slide the hypothesis search through the WHOLE chunk. The
+        reference re-probes its small (8k-soft) buffer every work() call,
+        so signal appearing mid-stream locks within one buffer; this
+        framework feeds multi-Msoft chunks, so the probe must scan within
+        a chunk — all (offset × phase × shift × swap) windows batch into
+        lane-parallel decodes of ≤ max_lanes hypotheses each.
+
+        Returns the soft index where lock was established (state/phase/
+        shift/iq_swap updated), or -1 after scanning everything."""
+        soft = np.asarray(soft, np.int8)
+        if len(soft) < TEST_BITS:
+            return -1
+        n_hyp = len(self.phases) * len(self._shift_range()) * \
+            (2 if self.check_swap else 1)
+        per_call = max(1, max_lanes // n_hyp)
+        base = 0
+        while base + TEST_BITS <= len(soft):
+            n_off = min(per_call,
+                        (len(soft) - base - TEST_BITS) // stride + 1)
+            offs = base + np.arange(n_off) * stride
+            hyps: List[Tuple[int, int, bool, int]] = []
+            windows = []
+            for swap in ([False, True] if self.check_swap else [False]):
+                for ph in self.phases:
+                    rotated = rotate_soft(
+                        soft[base: base + n_off * stride + TEST_BITS],
+                        ph, swap)
+                    u8 = cc.soft_int8_to_u8(rotated)
+                    for shift in self._shift_range():
+                        for o in offs:
+                            ob = o - base
+                            if self.depunc is None:
+                                w = u8[ob + shift: ob + shift + TEST_BITS - 2]
+                            else:
+                                w = self.depunc.depunc_static(
+                                    u8[ob: ob + TEST_BITS], shift)
+                            hyps.append((ph, shift, swap, int(o)))
+                            windows.append(w)
+            wlen = min(len(w) for w in windows) // 2 * 2
+            W = np.stack([w[:wlen] for w in windows]).astype(np.float32)
+            bits, _ = cc.viterbi_decode_block(
+                xfer.put(W.reshape(len(hyps), -1, 2)))
+            bits = xfer.get(bits).astype(np.uint8)
+            reenc = cc.conv_encode_batch(bits)
+            best = None  # (offset, ber, i): EARLIEST offset wins, as the
+            for i, (ph, shift, swap, o) in enumerate(hyps):  # ref locks at
+                b = _ber(windows[i][:wlen].astype(np.uint8), reenc[i],
+                         self.berscale)  # the first passing buffer
+                if b < self.ber_threshold and \
+                        (best is None or (o, b) < (best[0], best[1])):
+                    best = (o, b, i)
+            if best is not None:
+                o, b, i = best
+                self.phase, self.shift, self.iq_swap, _ = hyps[i]
+                self.ber = b
+                self.state = ST_SYNCED
+                self.invalid = 0
+                self._carry = np.zeros(0, np.uint8)
+                self._emit_from = 0
+                if self.depunc is not None:
+                    self.depunc.set_shift(self.shift)
+                return int(o)
+            base += n_off * stride
+        self.ber = 10.0
+        return -1
+
     # -- streaming decode ----------------------------------------------------
     def work(self, soft: np.ndarray, last: bool = False) -> np.ndarray:
         """soft: signed int8 soft symbols (interleaved for QPSK). Returns
@@ -130,8 +198,10 @@ class Viterbi12Sync:
         soft = np.asarray(soft, np.int8)
         drop = 0
         if self.state == ST_IDLE:
-            if not self._search(soft):
+            off = self.search_stream(soft)
+            if off < 0:
                 return np.zeros(0, np.uint8)
+            soft = soft[off:]   # noise lead-in before the signal: skip it
             # rate 1/2: apply the pair shift once at lock by dropping values
             # AFTER rotation (the search rotates the raw window first, then
             # shifts — viterbi_1_2.cpp ordering); punctured rates realign

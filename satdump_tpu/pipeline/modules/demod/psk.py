@@ -84,8 +84,12 @@ class PSKDemodModule(BaseDemodModule):
         data, _ = read_baseband(self.d_input_file, self.d_format)
         # one sharded step over the whole recording: seam phase-stitching
         # collectives keep every shard's rotation consistent with shard 0,
-        # so the emitted soft stream is globally coherent (timeshard.py)
-        block = -(-len(data) // (self._n_t * 4096)) * 4096
+        # so the emitted soft stream is globally coherent (timeshard.py).
+        # +64 sample margin: the polyphase interpolator cannot emit symbols
+        # within ntaps/2 of the final sample, so a recording whose length
+        # divides exactly into shards would lose its last ~ntaps/2/sps
+        # symbols (and with them the final frame) without trailing zeros.
+        block = -(-(len(data) + 64) // (self._n_t * 4096)) * 4096
         halo = min(8192, block // 4)
         step = build_sharded_qpsk_step(
             self._mesh, sps=self.final_sps, block=block, halo=halo,
