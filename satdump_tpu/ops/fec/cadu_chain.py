@@ -142,13 +142,19 @@ class CaduChain:
         u8p = jnp.concatenate(
             [u8, jnp.full((self.vit_pairs - u8.shape[0], 2), 128.0)])
 
-        # unroll=4 helps the TPU scan but makes the CPU backend's compile
-        # pathological (~200s at 33 lanes); pick per platform
+        # TPU: the Pallas register-exchange kernel (states in sublanes,
+        # lanes in the 128-wide minor dim) — 2.9 ms vs 13.0 ms for the XLA
+        # scan at bench shape (r5 chainprofile). CPU: the XLA scan (the
+        # kernel is verified bit-identical via interpret mode in tests).
         from satdump_tpu.ops.ffsync import _on_tpu
-        raw = cc.viterbi_decode_tiled_re(u8p, seg=SEG, ovl=HALO,
-                                         unroll=4 if _on_tpu() else 1
-                                         ).astype(jnp.int32)[
-            HALO: HALO + self.chunk_pairs]
+        if _on_tpu():
+            from satdump_tpu.ops.pallas.viterbi import viterbi_re_pallas
+            raw = viterbi_re_pallas(u8p, seg=SEG, ovl=HALO).astype(
+                jnp.int32)[HALO: HALO + self.chunk_pairs]
+        else:
+            raw = cc.viterbi_decode_tiled_re(u8p, seg=SEG, ovl=HALO,
+                                             unroll=1).astype(jnp.int32)[
+                HALO: HALO + self.chunk_pairs]
 
         # re-encode BER over a centered window (lock health, ref
         # viterbi_1_2.cpp:105-122); mask erasures and invalid tail

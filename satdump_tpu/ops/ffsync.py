@@ -194,11 +194,15 @@ def om_timing_fit(x: jnp.ndarray, sps: float, sub: int
         xh = jnp.zeros_like(x)
         for k in range(nt):
             xh = xh + hs[k] * xe[k: k + x.shape[-1]]
-        e2 = jnp.stack([jnp.abs(x) ** 2, jnp.abs(xh) ** 2],
-                       axis=-1).reshape(-1)
+        e2 = jnp.stack([_pw(x), _pw(xh)], axis=-1).reshape(-1)
         tau_e, skew = _om_core(e2, 2.0 * sps, 2 * sub)
         return tau_e * 0.5, skew
-    return _om_core(jnp.abs(x) ** 2, sps, sub)
+    return _om_core(_pw(x), sps, sub)
+
+
+def _pw(x: jnp.ndarray) -> jnp.ndarray:
+    """|x|² without the sqrt that jnp.abs(complex) spends."""
+    return jnp.real(x) ** 2 + jnp.imag(x) ** 2
 
 
 def _om_core(e_sig: jnp.ndarray, sps: float, sub: int
@@ -206,9 +210,19 @@ def _om_core(e_sig: jnp.ndarray, sps: float, sub: int
     n = e_sig.shape[-1]
     nsub = n // sub
     e = e_sig[: nsub * sub].reshape(nsub, sub)
-    ng = (jnp.arange(nsub * sub, dtype=jnp.float32)).reshape(nsub, sub)
-    tone = jnp.exp(-2j * jnp.pi * ng / sps)
-    c = jnp.sum(e.astype(jnp.complex64) * tone, axis=-1)   # (nsub,)
+    # tone exp(-2πj n/sps) with n = j·sub + k separates into an outer
+    # product tone_j ⊗ tone_k — nsub + sub transcendentals instead of n
+    # (the full-grid exp was 4.6 ms of the 29 ms bench block, r5 profile),
+    # and the per-sub-block correlation collapses to ONE real×complex
+    # matvec: c_j = tone_j · Σ_k e[j,k]·tone_k. The tones are host f64
+    # constants: the phase 2π·n/sps needs exact modular reduction (at
+    # n ~ 4M a float32 phase has ~0.5 rad of rounding — the old full-grid
+    # f32 exp silently suffered exactly this).
+    tk = np.exp(-2j * np.pi * (np.arange(sub) % sps) / sps)
+    tj = np.exp(-2j * np.pi * ((np.arange(nsub) * float(sub)) % sps) / sps)
+    cr = e @ jnp.asarray(tk.real, jnp.float32)
+    ci = e @ jnp.asarray(tk.imag, jnp.float32)
+    c = jnp.asarray(tj.astype(np.complex64)) * (cr + 1j * ci)  # (nsub,)
     tau = -jnp.angle(c) / (2 * jnp.pi) * sps               # samples, mod sps
 
     # unwrap modulo sps across sub-blocks
@@ -361,9 +375,14 @@ def resample_strip(ext: jnp.ndarray, start: jnp.ndarray, omega: jnp.ndarray,
         preferred_element_type=jnp.float32).reshape(nseg, G, ntaps)
 
     M = D + ntaps
+    # de-interleave ONCE into s0 contiguous planes so each strip is a
+    # static contiguous slice instead of a stride-s0 gather (the 32
+    # strided slices were the bulk of this stage's 5.3 ms, r5 profile):
+    # seg[:, m : m + s0·G : s0] == planes[m % s0][:, m//s0 : m//s0 + G]
+    planes = [seg[:, r::s0] for r in range(s0)]
     y = jnp.zeros((nseg, G), ext.dtype)
     for m in range(M):
-        Xm = seg[:, m: m + s0 * G: s0]
+        Xm = planes[m % s0][:, m // s0: m // s0 + G]
         md = m - d
         w = jnp.zeros((nseg, G), jnp.float32)
         for t in range(ntaps):
