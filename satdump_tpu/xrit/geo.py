@@ -67,7 +67,23 @@ def _payload_image(f: XRITFile, himawari_be: bool = False
             logger.warning(f"xRIT JPEG decode failed ({f.filename}): {e}")
             return None
     if isr.compression_flag == 1:          # wavelet (MSG DecompWT)
-        return None
+        # S+P wavelet + arithmetic coding (EUMETSAT HRIT standard
+        # compression; ref xrit/msg/decomp.cpp:86-95 DecompressWT). The
+        # segment-ID header's compression field may say 2 (T4) which we
+        # don't support; 0/3/absent all mean WT in practice.
+        from satdump_tpu.xrit.decompwt import wt_decompress
+        r = wt_decompress(payload, w, h, isr.bit_per_pixel)
+        if r is None:
+            logger.warning(f"WT decompression failed ({f.filename})")
+            return None
+        arr, qual = r
+        bad = int((qual < w).sum())
+        if bad:
+            logger.warning(f"WT segment {f.filename}: {bad}/{h} "
+                           "damaged lines")
+        if isr.bit_per_pixel > 8:
+            return arr
+        return arr.astype(np.uint8)
     need = w * h * (2 if isr.bit_per_pixel > 8 else 1)
     if len(payload) < need:
         return None
@@ -274,8 +290,8 @@ class ElektroLRITDataDecoderModule(_GeoXRITModuleBase):
 
 @register_module
 class MSGLRITDataDecoderModule(ElektroLRITDataDecoderModule):
-    """MSG SEVIRI images; wavelet-compressed (DecompWT) segments are saved
-    raw until the wavelet codec lands."""
+    """MSG SEVIRI images; wavelet-compressed (DecompWT) segments decode
+    through the native WT codec (xrit/decompwt.py)."""
 
     id = "msg_lrit_data_decoder"
     sat_dir = "SEVIRI"
