@@ -133,8 +133,154 @@ class NormalLineRaytracer:
         return lat, lon
 
 
+class NormalPerIFOVRaytracer(NormalLineRaytracer):
+    """Per-IFOV sounder/interferometer geolocator (ref normal_per_ifov.cpp,
+    registered as "normal_per_ifov_old"): one timestamp per (scan, ifov)
+    cell; within a cell the pointing is a small ifov_x/ifov_y raster around
+    the cell's scan-angle offset. Serves IASI-IMG, AIRS and the other
+    stare-per-IFOV sounders.
+
+    cfg: timestamps (scan-major, ifov-minor), image_width, ifov_count,
+    ifov_x_size, ifov_y_size, ifov_x_scan_angle, ifov_y_scan_angle,
+    scan_angle (default ifov_x_scan_angle*ifov_count), invert_scan,
+    roll/pitch/yaw offsets, timestamp_offset."""
+
+    def __init__(self, cfg: dict, tle: TLE):
+        self.ifov_count = int(cfg["ifov_count"])
+        self.ifov_x_size = int(cfg["ifov_x_size"])
+        self.ifov_y_size = int(cfg["ifov_y_size"])
+        self.ifov_x_ang = float(cfg["ifov_x_scan_angle"])
+        self.ifov_y_ang = float(cfg["ifov_y_scan_angle"])
+        cfg = dict(cfg)
+        cfg.setdefault("scan_angle", self.ifov_x_ang * self.ifov_count)
+        super().__init__(cfg, tle)
+
+    def get_latlon(self, x: np.ndarray, y: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        n_scans = len(self.timestamps) // self.ifov_count
+        # scan direction: the reference flips x unless invert_scan
+        fx = x if self.invert_scan else (self.width - 1) - x
+        scan = np.clip((y // self.ifov_y_size).astype(int), 0, n_scans - 1)
+        ifov = np.clip((fx // self.ifov_x_size).astype(int),
+                       0, self.ifov_count - 1)
+        idx = scan * self.ifov_count + ifov           # timestamp cell
+        pos = self.pos[idx]
+        vel = _normalize(self.vel[idx])
+        lla = ecef_to_lla(pos)
+        ground = lla_to_ecef(lla[..., 0], lla[..., 1], 0.0)
+        nadir = _normalize(ground - pos)
+
+        # cell center scan offset + in-cell raster (normal_per_ifov.cpp:72-80)
+        cell_off = 0.0 if self.ifov_count == 1 else \
+            -((ifov - self.ifov_count / 2.0) / self.ifov_count
+              * self.scan_angle)
+        ifx = np.floor(fx).astype(int) % self.ifov_x_size
+        ify = (self.ifov_y_size - 1) - (np.floor(y).astype(int)
+                                        % self.ifov_y_size)
+        roll = np.radians(
+            -((ifx - self.ifov_x_size / 2.0) / self.ifov_x_size
+              * self.ifov_x_ang) + cell_off + self.roll_offset)
+        pitch = np.radians(
+            -((ify - self.ifov_y_size / 2.0) / self.ifov_y_size
+              * self.ifov_y_ang) + self.pitch_offset)
+        yaw = np.radians(np.where(self.ascending[idx],
+                                  -self.yaw_offset, self.yaw_offset))
+
+        pitch_axis = _normalize(np.cross(nadir, vel))
+        ray = _rodrigues(nadir, vel, np.broadcast_to(roll, x.shape))
+        ray = _rodrigues(ray, pitch_axis, np.broadcast_to(pitch, x.shape))
+        ray = _rodrigues(ray, nadir, np.broadcast_to(yaw, x.shape))
+
+        p, hit = ray_ellipsoid_intersect(np.broadcast_to(pos, ray.shape), ray)
+        lla_out = ecef_to_lla(p)
+        bad = self.bad_line[idx] | (y >= n_scans * self.ifov_y_size)
+        lat = np.where(hit & ~bad, lla_out[..., 0], np.nan)
+        lon = np.where(hit & ~bad, lla_out[..., 1], np.nan)
+        return lat, lon
+
+
+def _natural_cubic(xs: np.ndarray, ys: np.ndarray):
+    """Natural cubic spline through (xs, ys); returns an evaluator.
+    (The reference fits a spline through its manual pointing table,
+    manual_line.cpp:33-37; linear interp would kink at the knots.)"""
+    n = len(xs)
+    if n < 3:
+        return lambda q: np.interp(q, xs, ys)
+    h = np.diff(xs)
+    rhs = np.zeros(n)
+    rhs[1:-1] = 3.0 * ((ys[2:] - ys[1:-1]) / h[1:]
+                       - (ys[1:-1] - ys[:-2]) / h[:-1])
+    A = np.zeros((n, n))
+    A[0, 0] = A[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1]
+        A[i, i] = 2.0 * (h[i - 1] + h[i])
+        A[i, i + 1] = h[i]
+    c = np.linalg.solve(A, rhs)
+    b = (ys[1:] - ys[:-1]) / h - h * (2 * c[:-1] + c[1:]) / 3.0
+    d = (c[1:] - c[:-1]) / (3.0 * h)
+
+    def ev(q):
+        q = np.asarray(q, np.float64)
+        i = np.clip(np.searchsorted(xs, q) - 1, 0, n - 2)
+        t = q - xs[i]
+        return ys[i] + b[i] * t + c[i] * t * t + d[i] * t ** 3
+    return ev
+
+
+class ManualLineRaytracer(NormalLineRaytracer):
+    """Scanline geolocator with a MANUAL per-pixel pointing table (ref
+    manual_line.cpp "manual_single_line_old"): roll/pitch as a spline
+    through cfg["points"] = {"<px>": [roll, pitch, yaw]} — used where the
+    scan geometry is not a uniform rotation (e.g. conical or stepped
+    scanners calibrated empirically)."""
+
+    def __init__(self, cfg: dict, tle: TLE):
+        cfg = dict(cfg)
+        cfg.setdefault("scan_angle", 0.0)
+        super().__init__(cfg, tle)
+        pts = sorted((int(k), v) for k, v in cfg["points"].items())
+        xs = np.asarray([p[0] for p in pts], np.float64)
+        self._roll = _natural_cubic(xs, np.asarray([p[1][0] for p in pts]))
+        self._pitch = _natural_cubic(xs, np.asarray([p[1][1] for p in pts]))
+
+    def get_latlon(self, x: np.ndarray, y: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        x = np.asarray(x, np.float64)
+        iy = np.clip(np.floor(y).astype(int), 0, len(self.timestamps) - 1)
+        pos = self.pos[iy]
+        vel = _normalize(self.vel[iy])
+        lla = ecef_to_lla(pos)
+        ground = lla_to_ecef(lla[..., 0], lla[..., 1], 0.0)
+        nadir = _normalize(ground - pos)
+
+        roll = np.radians(self._roll(x))
+        pitch = np.radians(self._pitch(x))
+        yaw = np.radians(np.where(self.ascending[iy],
+                                  -self.yaw_offset, self.yaw_offset))
+
+        pitch_axis = _normalize(np.cross(nadir, vel))
+        ray = _rodrigues(nadir, vel, np.broadcast_to(roll, x.shape))
+        ray = _rodrigues(ray, pitch_axis, np.broadcast_to(pitch, x.shape))
+        ray = _rodrigues(ray, nadir, np.broadcast_to(yaw, x.shape))
+
+        p, hit = ray_ellipsoid_intersect(np.broadcast_to(pos, ray.shape), ray)
+        lla_out = ecef_to_lla(p)
+        bad = self.bad_line[iy] | (x >= self.width)
+        lat = np.where(hit & ~bad, lla_out[..., 0], np.nan)
+        lon = np.where(hit & ~bad, lla_out[..., 1], np.nan)
+        return lat, lon
+
+
 RAYTRACERS = {"normal_line": NormalLineRaytracer,
-              "normal_single_line": NormalLineRaytracer}
+              "normal_single_line": NormalLineRaytracer,
+              "normal_single_line_old": NormalLineRaytracer,
+              "normal_per_ifov": NormalPerIFOVRaytracer,
+              "normal_per_ifov_old": NormalPerIFOVRaytracer,
+              "manual_line": ManualLineRaytracer,
+              "manual_single_line_old": ManualLineRaytracer}
 
 
 def filter_timestamps_simple(timestamps: np.ndarray, max_tolerate: float,

@@ -404,10 +404,15 @@ class JPSSInstrumentsDecoderModule(ProcessingModule):
             ap.instrument_name = "atms"
             for c in range(22):
                 ap.add_channel(atms.get_channel(c), str(c + 1), bit_depth=16)
+            # matches reference projections_settings/jpss_atms.json
             ap.set_proj_cfg_tle_timestamps(
-                {"type": "normal_line", "scan_angle": 105.6,
-                 "image_width": 96, "gcp_spacing_x": 10,
-                 "gcp_spacing_y": 10, "norad": norad},
+                {"type": "normal_line", "scan_angle": 107,
+                 "roll_offset": -1.3, "timestamp_offset": -2,
+                 "image_width": 96, "gcp_spacing_x": 5,
+                 "gcp_spacing_y": 5,
+                 "timefilter": {"type": "simple", "scan_time": 2.66,
+                                "max_diff": 10.0},
+                 "norad": norad},
                 {"name": sat_name, "norad": norad}, atms.timestamps)
             ap.save(str(out_dir / "ATMS"))
             ds.products_list.append("ATMS")
