@@ -37,6 +37,7 @@ _ALLOWED_FUNCS = {
     "atan2": jnp.arctan2,
     "floor": jnp.floor,
     "ceil": jnp.ceil,
+    "where": lambda c, a, b: jnp.where(c != 0, a, b),
 }
 
 _BINOPS = {
@@ -123,15 +124,108 @@ def compile_expression(expr: str) -> Callable[[Dict[str, np.ndarray]], np.ndarra
     return call
 
 
+def _bilinear(img: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    x = np.clip(x, 0.0, w - 1.0)
+    y = np.clip(y, 0.0, h - 1.0)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = x - x0
+    fy = y - y0
+    return (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+            + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+
+
+def _used_names(trees) -> set:
+    used = set()
+    for t in trees:
+        for n in ast.walk(t):
+            if isinstance(n, ast.Name):
+                used.add(n.id)
+    return used
+
+
+def _resolve_cal_calls(trees, product, env) -> None:
+    """Replace cal("<channel>", "<unit>", lo, hi) calls with env variables
+    bound to the normalized calibrated channel (the compositor counterpart
+    of the reference's cchN=(N, unit, min, max) syntax)."""
+    from satdump_tpu.products.calibration import calibrate_channel
+
+    class T(ast.NodeTransformer):
+        def visit_Call(self, node):
+            self.generic_visit(node)
+            if not (isinstance(node.func, ast.Name) and node.func.id == "cal"):
+                return node
+            args = [a.value for a in node.args
+                    if isinstance(a, ast.Constant)]
+            if len(args) != len(node.args) or len(args) not in (2, 4):
+                raise SatdumpError("cal() wants (channel, unit[, lo, hi]) "
+                                   "constants")
+            name, unit = str(args[0]), str(args[1])
+            key = f"_cal_{name}_{unit}_{len(env)}"
+            v = np.asarray(calibrate_channel(product, name, unit),
+                           np.float64)
+            if len(args) == 4:
+                lo, hi = float(args[2]), float(args[3])
+                v = (v - lo) / max(hi - lo, 1e-12)
+            env[key] = np.clip(np.nan_to_num(v), 0.0, 1.0
+                               ).astype(np.float32)
+            return ast.copy_location(ast.Name(id=key, ctx=ast.Load()), node)
+
+    for i, t in enumerate(trees):
+        trees[i] = ast.fix_missing_locations(T().visit(t))
+
+
 def generate_composite(product, expr: str, bit_depth: int = 8) -> np.ndarray:
     """ImageProduct + expression -> uint8/16 composite. Channels are exposed
     as ch<NAME> normalized to [0,1] by their bit depth (the reference's
-    convention for raw-count expressions)."""
-    env = {}
-    for h in product.images:
+    convention for raw-count expressions); calibrated values via
+    cal("<name>", "<unit>", lo, hi). Channels of different resolutions are
+    resampled onto the finest used grid through their ChannelTransforms
+    (ref image::generate_composite channel_transform path)."""
+    trees = parse_expression(expr)
+    env: Dict[str, np.ndarray] = {}
+    _resolve_cal_calls(trees, product, env)
+    used = _used_names(trees)
+
+    holders = [h for h in product.images if f"ch{h.channel_name}" in used]
+    target = max(holders, key=lambda h: h.image.size, default=None)
+    for h in holders:
         scale = float((1 << h.bit_depth) - 1)
-        env[f"ch{h.channel_name}"] = np.asarray(h.image, np.float32) / scale
-    out = compile_expression(expr)(env)
+        a = np.asarray(h.image, np.float32) / scale
+        if target is not None and h.image.shape != target.image.shape:
+            th, tw = target.image.shape
+            X, Y = np.meshgrid(np.arange(tw, dtype=np.float64),
+                               np.arange(th, dtype=np.float64))
+            tt = getattr(target, "ch_transform", None)
+            ct = getattr(h, "ch_transform", None)
+            u, v = (tt.forward(X, Y) if tt is not None else (X, Y))
+            x, y = (ct.reverse(u, v) if ct is not None else (u, v))
+            # transforms both none (or identity): plain scale ratio
+            if ct is None or (ct.type == 0 and (tt is None or tt.type == 0)):
+                hh, hw = h.image.shape
+                x = X * (hw / tw)
+                y = Y * (hh / th)
+            a = _bilinear(a, x, y).astype(np.float32)
+        env[f"ch{h.channel_name}"] = a
+
+    out = _run_trees(trees, env)
     if bit_depth == 8:
         return (out * 255.0 + 0.5).astype(np.uint8)
     return (out * 65535.0 + 0.5).astype(np.uint16)
+
+
+def _run_trees(trees, env: Dict[str, np.ndarray]) -> np.ndarray:
+    jenv = {k: jnp.asarray(v, jnp.float32) for k, v in env.items()}
+
+    @jax.jit
+    def run(jenv):
+        chans = [jnp.asarray(_eval_node(t, jenv), jnp.float32)
+                 + jnp.zeros_like(next(iter(jenv.values())))
+                 for t in trees]
+        img = chans[0] if len(chans) == 1 else jnp.stack(chans, axis=-1)
+        return jnp.clip(img, 0.0, 1.0)
+
+    return np.asarray(run(jenv))
