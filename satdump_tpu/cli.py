@@ -293,6 +293,50 @@ def cmd_autotrack(args, extra: List[str]) -> int:
     return 0
 
 
+def _cmd_live_multivfo(args, params: dict) -> int:
+    """N simultaneous per-VFO live pipelines from one stream
+    (ref recorder.h:174-178 add_vfo_live): --vfo name:offset_hz:pipeline."""
+    from satdump_tpu.pipeline.multivfo import MultiVFOLive
+    from satdump_tpu.pipeline.pipeline import pipeline_registry
+
+    samplerate = float(params.get("samplerate", 0) or 0)
+    if not samplerate:
+        logger.error("multi-VFO live needs --samplerate")
+        return 2
+    mv = MultiVFOLive(samplerate, args.output,
+                      block_size=int(params.get("buffer_size", 1 << 18)))
+    for spec in args.vfo:
+        try:
+            name, off, pid = spec.split(":", 2)
+            pipe = pipeline_registry.get(pid)
+        except Exception:
+            logger.error(f"bad --vfo spec '{spec}' "
+                         "(want name:freq_offset_hz:pipeline_id)")
+            return 2
+        vfo_params = {k: v for k, v in params.items()
+                      if k not in ("samplerate",)}
+        mv.add_vfo(name, float(off), pipe, vfo_params)
+
+    src = args.source
+    if src.startswith("tcp://"):
+        from satdump_tpu.io.net import RemoteIQClient
+        host, port = src[6:].rsplit(":", 1)
+        client = RemoteIQClient(host, int(port))
+        for blk in client.blocks():
+            mv.push(blk)
+        client.close()
+    else:
+        from satdump_tpu.io.baseband import BasebandReader
+        path = src[7:] if src.startswith("file://") else src
+        reader = BasebandReader(path, str(params.get(
+            "baseband_format", "cf32")), block_size=mv.block_size)
+        for blk in reader.blocks():
+            mv.push(blk.samples[: blk.valid])
+    outs = mv.stop()
+    print(json.dumps({"outputs": outs, "stats": mv.stats}))
+    return 0
+
+
 def cmd_live(args, extra: List[str]) -> int:
     """Live decode from a streaming source (ref src-cli/legacy/live.cpp):
     source spec `tcp://host:port` (remote-IQ protocol) or `file://path`
@@ -301,12 +345,16 @@ def cmd_live(args, extra: List[str]) -> int:
     from satdump_tpu.pipeline.pipeline import pipeline_registry
 
     _load_all_pipelines([args.pipelines_dir] if args.pipelines_dir else None)
+    params = _collect_kv(extra)
+
+    if args.vfo:
+        return _cmd_live_multivfo(args, params)
+
     try:
         pipe = pipeline_registry.get(args.id)
     except Exception:
         logger.error(f"unknown pipeline '{args.id}' (see `list`)")
         return 2
-    params = _collect_kv(extra)
     lp = LivePipeline(pipe, args.output, user_params=params)
 
     status_srv = None
@@ -406,11 +454,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_autotrack)
 
     p = sub.add_parser("live", help="live decode from a streaming source")
-    p.add_argument("id")
+    p.add_argument("id", help="pipeline id ('-' with --vfo for VFO-only)")
     p.add_argument("source", help="tcp://host:port or file://path")
     p.add_argument("output")
     p.add_argument("--http-port", type=int, default=None,
                    help="serve /status JSON on this port (0 = ephemeral)")
+    p.add_argument("--vfo", action="append", default=[], metavar="SPEC",
+                   help="add a VFO live pipeline: name:freq_offset_hz:"
+                        "pipeline_id (repeatable; the wideband stream is "
+                        "channelized, ref recorder.h add_vfo_live)")
     p.set_defaults(fn=cmd_live)
     return ap
 
