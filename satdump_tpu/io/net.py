@@ -26,6 +26,22 @@ import numpy as np
 ACCEPT = b"\xff"
 REFUSE = b"\x00"
 
+# packet type ids (remote_sdr_support/remote.h:58-73 PKTType)
+PKT_TYPE_PING = 0
+PKT_TYPE_SOURCELIST = 1
+PKT_TYPE_SOURCEOPEN = 2
+PKT_TYPE_SOURCECLOSE = 3
+PKT_TYPE_GUI = 4
+PKT_TYPE_IQ = 5
+PKT_TYPE_SAMPLERATEFBK = 6
+PKT_TYPE_SOURCESTART = 7
+PKT_TYPE_SOURCESTOP = 8
+PKT_TYPE_SETFREQ = 9
+PKT_TYPE_SETSETTINGS = 10
+PKT_TYPE_GETSETTINGS = 11
+PKT_TYPE_SAMPLERATESET = 12
+PKT_TYPE_BITDEPTHSET = 13
+
 
 # ---------------------------------------------------------------------------
 # IQ packet codec (iq_pkt.h)
@@ -42,7 +58,9 @@ def encode_iq_pkt(samples: np.ndarray, bit_depth: int = 8) -> bytes:
         peak = float(np.max(np.abs(samples))) if n else 1.0
         peak = max(peak, 1e-12)
         scale = (127.0 if bit_depth == 8 else 32767.0) / peak
-        q = np.clip(flat * scale, -scale * peak, scale * peak)
+        # round-to-nearest like volk_32f_s32f_convert_* (a plain astype
+        # truncates toward zero — a systematic half-LSB bias off the wire)
+        q = np.round(np.clip(flat * scale, -scale * peak, scale * peak))
         body = q.astype(np.int8 if bit_depth == 8 else np.int16).tobytes()
     hdr = struct.pack("<Bfi", bit_depth, scale, n)
     return hdr + body
@@ -172,7 +190,14 @@ class RemoteIQClient:
             payload = self._c.recv()
             if payload is None or len(payload) == 0:
                 return
-            yield decode_iq_pkt(payload)
+            # reference wire: [u8 PKTType][packet body] (remote.h:76-83
+            # sendPacketWithVector); ignore non-IQ control packets. Bare
+            # IQ payloads (no type byte) from older peers still parse:
+            # their first byte is a valid bit depth, never PKT_TYPE_IQ=5.
+            if payload[0] == PKT_TYPE_IQ:
+                yield decode_iq_pkt(payload[1:])
+            elif payload[0] in (8, 16, 32):
+                yield decode_iq_pkt(payload)
 
     def close(self) -> None:
         self._c.close()
@@ -192,7 +217,8 @@ class RemoteIQServer:
         self._s.wait_client(timeout)
 
     def send_samples(self, samples: np.ndarray) -> None:
-        self._s.send(encode_iq_pkt(samples, self.bit_depth))
+        self._s.send(bytes([PKT_TYPE_IQ])
+                     + encode_iq_pkt(samples, self.bit_depth))
 
     def end(self) -> None:
         self._s.send(b"")

@@ -283,6 +283,145 @@ class RemoteSource(SampleSource):
 
 
 # -- registry (dsp_sample_source.h:68-83) ------------------------------------
+class SdrppServerSource(SampleSource):
+    """SDR++ server network client (plugins/sdr_sources/
+    sdrpp_server_support/sdrpp_server/{server_protocol.h,
+    sdrpp_server_client.cpp}).
+
+    Wire format (all little-endian, packed):
+      PacketHeader  { u32 type; u32 size /* incl. header */ }
+      CommandHeader { u32 cmd }
+    Client->server commands: SET_FREQUENCY(4)+f64, SET_SAMPLE_TYPE(6)+u8
+    (0=i8 1=i16 2=f32), SET_COMPRESSION(7)+u8, START(2), STOP(3).
+    Server->client: COMMAND packets carrying SET_SAMPLERATE(0x80)+f64,
+    BASEBAND(2) packets with raw interleaved IQ in the negotiated PCM
+    type, BASEBAND_COMPRESSED(3) = zstd (decoded when the zstd module is
+    available, else skipped with a warning)."""
+
+    source_type = "sdrpp"
+
+    PKT_COMMAND, PKT_COMMAND_ACK, PKT_BASEBAND, PKT_BASEBAND_COMPRESSED, \
+        PKT_VFO, PKT_FFT, PKT_ERROR = range(7)
+    CMD_GET_UI, CMD_UI_ACTION, CMD_START, CMD_STOP, CMD_SET_FREQUENCY, \
+        CMD_GET_SAMPLERATE, CMD_SET_SAMPLE_TYPE, CMD_SET_COMPRESSION = \
+        range(8)
+    CMD_SET_SAMPLERATE = 0x80
+    CMD_DISCONNECT = 0x81
+
+    def __init__(self, params=None):
+        super().__init__(params)
+        self.host = str(self.d_params.get("host", "127.0.0.1"))
+        self.port = int(self.d_params.get("port", 5259))
+        self.bit_depth = int(self.d_params.get("bit_depth", 16))
+        self.compression = bool(self.d_params.get("compression", False))
+        self._sock = None
+        self._zstd_warned = False
+
+    def _send_packet(self, ptype: int, payload: bytes) -> None:
+        import struct
+        hdr = struct.pack("<II", ptype, 8 + len(payload))
+        self._sock.sendall(hdr + payload)
+
+    def _send_command(self, cmd: int, data: bytes = b"") -> None:
+        import struct
+        self._send_packet(self.PKT_COMMAND, struct.pack("<I", cmd) + data)
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("sdrpp: connection closed")
+            buf += chunk
+        return buf
+
+    def _recv_packet(self):
+        import struct
+        ptype, size = struct.unpack("<II", self._recv_exact(8))
+        return ptype, self._recv_exact(size - 8)
+
+    def open(self) -> None:
+        import socket
+        import struct
+        self._sock = socket.create_connection((self.host, self.port),
+                                              timeout=10)
+        depth_to_pcm = {8: 0, 16: 1, 32: 2}
+        self._send_command(self.CMD_SET_SAMPLE_TYPE,
+                           bytes([depth_to_pcm[self.bit_depth]]))
+        self._send_command(self.CMD_SET_COMPRESSION,
+                           bytes([1 if self.compression else 0]))
+        if self.frequency:
+            self._send_command(self.CMD_SET_FREQUENCY,
+                               struct.pack("<d", float(self.frequency)))
+
+    def set_frequency(self, hz: float) -> None:
+        import struct
+        self.frequency = hz
+        if self._sock is not None:
+            self._send_command(self.CMD_SET_FREQUENCY,
+                               struct.pack("<d", float(hz)))
+
+    def start(self) -> None:
+        self._send_command(self.CMD_START)
+        super().start()
+
+    def stop(self) -> None:
+        if self._sock is not None:
+            try:
+                self._send_command(self.CMD_STOP)
+            except OSError:
+                pass
+        super().stop()
+
+    def _decode_baseband(self, data: bytes) -> np.ndarray:
+        if self.bit_depth == 8:
+            f = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+        elif self.bit_depth == 16:
+            f = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
+        else:
+            f = np.frombuffer(data, np.float32).copy()
+        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+    def blocks(self) -> Iterator[np.ndarray]:
+        import struct
+        if self._sock is None:
+            self.open()
+        if not self.started:
+            self.start()
+        while True:
+            try:
+                ptype, payload = self._recv_packet()
+            except (ConnectionError, OSError):
+                return
+            if ptype == self.PKT_BASEBAND:
+                yield self._decode_baseband(payload)
+            elif ptype == self.PKT_BASEBAND_COMPRESSED:
+                try:
+                    import zstandard
+                    data = zstandard.ZstdDecompressor().decompress(
+                        payload, max_output_size=1 << 24)
+                    yield self._decode_baseband(data)
+                except ImportError:
+                    if not self._zstd_warned:
+                        logger.warning("sdrpp: zstd unavailable, dropping "
+                                       "compressed baseband")
+                        self._zstd_warned = True
+            elif ptype == self.PKT_COMMAND and len(payload) >= 4:
+                cmd, = struct.unpack("<I", payload[:4])
+                if cmd == self.CMD_SET_SAMPLERATE and len(payload) >= 12:
+                    self.samplerate, = struct.unpack("<d", payload[4:12])
+                    logger.info(f"sdrpp: server samplerate "
+                                f"{self.samplerate:.0f}")
+                elif cmd == self.CMD_DISCONNECT:
+                    logger.warning("sdrpp: server asked to disconnect")
+                    return
+
+    def close(self) -> None:
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+
 source_registry: Dict[str, Callable[[dict], SampleSource]] = {}
 
 
@@ -300,6 +439,7 @@ register_source(FileSource)
 register_source(RemoteSource)
 register_source(RtlTcpSource)
 register_source(SpyServerSource)
+register_source(SdrppServerSource)
 
 
 def get_source(descriptor: str | dict) -> SampleSource:
@@ -322,6 +462,10 @@ def get_source(descriptor: str | dict) -> SampleSource:
             descriptor = {"type": "spyserver", "host": host,
                           "port": int(port)}
             t = "spyserver"
+        elif s.startswith("sdrpp://"):
+            host, port = s[8:].rsplit(":", 1)
+            descriptor = {"type": "sdrpp", "host": host, "port": int(port)}
+            t = "sdrpp"
         else:
             descriptor = {"type": "file",
                           "path": s[7:] if s.startswith("file://") else s}

@@ -280,7 +280,11 @@ def main():
     # NOTE: do NOT probe jax.devices()/default_backend() up front — on the
     # axon tunnel, touching the backend before the first h2d transfer
     # permanently poisons every later d2h fetch in the process
-    # (utils/xfer.py, tools/axon_probe7.py). Backend is reported at the end.
+    # (utils/xfer.py, tools/axon_probe7.py). The FIRST device op must be a
+    # host->device transfer (bench.py stages its inputs before building);
+    # prime one before any stage can run a device-side init.
+    from satdump_tpu.utils import xfer
+    xfer.put(np.zeros(8, np.float32))
 
     n_pass = n_fail = 0
     for fn in STAGES:
