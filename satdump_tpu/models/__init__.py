@@ -10,6 +10,7 @@ import satdump_tpu.models.noaa_hrpt  # noqa: F401
 import satdump_tpu.models.meteor_hrpt  # noqa: F401
 import satdump_tpu.models.goes_gvar  # noqa: F401
 import satdump_tpu.models.goes_grb  # noqa: F401
+import satdump_tpu.models.goes_sd  # noqa: F401
 import satdump_tpu.models.jpss  # noqa: F401
 import satdump_tpu.models.eos  # noqa: F401
 import satdump_tpu.models.fengyun3  # noqa: F401
