@@ -59,6 +59,11 @@ def _payload_image(f: XRITFile, himawari_be: bool = False
     w, h = isr.columns_count, isr.lines_count
     if isr.compression_flag == 2:          # JPEG
         try:
+            if isr.bit_per_pixel > 8:      # 12-bit: native decoder
+                from satdump_tpu.image.jpeg12 import decompress_jpeg12
+                img = decompress_jpeg12(payload)
+                if img is not None:
+                    return img
             from PIL import Image
             im = Image.open(_io.BytesIO(payload))
             im.load()

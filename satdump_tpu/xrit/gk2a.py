@@ -184,6 +184,13 @@ class GK2ALRITDataDecoderModule(ProcessingModule):
             return arr.reshape(isr.lines_count, isr.columns_count).copy()
         try:
             if isr.compression_flag == 2:      # JPEG
+                # GK-2A ships 12-bit JPEGs that 8-bit libraries refuse
+                # (ref jpeg12_utils.cpp); try the native 12-bit decoder
+                # first, fall back to PIL for plain 8-bit streams
+                from satdump_tpu.image.jpeg12 import decompress_jpeg12
+                img = decompress_jpeg12(payload)
+                if img is not None:
+                    return img
                 from PIL import Image
                 im = Image.open(_io.BytesIO(payload))
                 im.load()

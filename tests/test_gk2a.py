@@ -186,3 +186,51 @@ def test_elektro_jpeg_segments(tmp_path):
     got = load_img(next((tmp_path / "out" / "IMAGES" / "MSU-GS").glob("*")))
     assert got.shape == (20, 64)
     assert abs(int(got[7, 20]) - 220) < 10 and abs(int(got[0, 0]) - 120) < 10
+
+
+def test_jpeg12_roundtrip(rng):
+    """Native 12-bit JPEG decoder vs the NumPy fixture encoder (the
+    reference vendors a 12-bit libjpeg for GK-2A/FY-4/EPIC payloads,
+    src-core/image/jpeg12_utils.cpp; PIL refuses precision 12)."""
+    from satdump_tpu.image.jpeg12 import compress_jpeg12, decompress_jpeg12
+    y, x = np.mgrid[0:40, 0:56]
+    img = ((np.sin(x / 9.0) * np.cos(y / 6.0) * 1200 + 2048)
+           + rng.normal(0, 3, (40, 56))).clip(0, 4095).astype(np.uint16)
+    data = compress_jpeg12(img, 12, quality_div=4)
+    out = decompress_jpeg12(data)
+    assert out is not None and out.dtype == np.uint16
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 4 and err.max() < 40
+
+    # PIL genuinely cannot read it -> the native path is load-bearing
+    import io as _io
+    import pytest as _pytest
+    from PIL import Image
+    with _pytest.raises(Exception):
+        Image.open(_io.BytesIO(data)).load()
+
+
+def test_gk2a_12bit_jpeg_segment(tmp_path, rng):
+    """A GK-2A AMI segment carrying a 12-bit JPEG decodes into imagery."""
+    from satdump_tpu.image.jpeg12 import compress_jpeg12
+    from satdump_tpu.xrit.gk2a import GK2ALRITDataDecoderModule
+    img = ((np.mgrid[0:20, 0:64][1] * 60) % 4095).astype(np.uint16)
+    payload = compress_jpeg12(img, 12, quality_div=8)
+    name = "IMG_FD_xx_VI006_20260101_00000_000.lrit"
+    raw = build_xrit_file(name, payload, [
+        ImageStructureRecord(bit_per_pixel=12, columns_count=64,
+                             lines_count=20, compression_flag=2),
+        _seg_header(0, 1)])
+    pkts = packetize_xrit_file(raw, apid=221)
+    cadus = _pad1024(make_cadus_for_vcid(pkts, vcid=0))
+    p2 = tmp_path / "g.cadu"
+    cadus.astype(np.uint8).tofile(p2)
+    mod = GK2ALRITDataDecoderModule(str(p2), str(tmp_path / "out" / "x"), {})
+    mod.process()
+    assert mod.stats["images"] == 1
+    from satdump_tpu.image.io import load_img
+    got = load_img(next((tmp_path / "out" / "IMAGES" / "AMI").glob("*")))
+    assert got.shape == (20, 64)
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.mean() < 30
