@@ -293,6 +293,16 @@ def cmd_autotrack(args, extra: List[str]) -> int:
     return 0
 
 
+def cmd_bitview(args, extra: List[str]) -> int:
+    """Headless BitView (ref plugins/bitview_app): raster + period
+    autodetect for unknown bit streams."""
+    from satdump_tpu.utils.bitview import run_bitview
+    info = run_bitview(args.file, args.output, period=args.period,
+                       soft=args.soft, diff=args.diff, reverse=args.reverse)
+    print(json.dumps(info))
+    return 0
+
+
 def _cmd_live_multivfo(args, params: dict) -> int:
     """N simultaneous per-VFO live pipelines from one stream
     (ref recorder.h:174-178 add_vfo_live): --vfo name:offset_hz:pipeline."""
@@ -452,6 +462,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the pass schedule and exit")
     p.add_argument("--http-port", type=int, default=None)
     p.set_defaults(fn=cmd_autotrack)
+
+    p = sub.add_parser("bitview",
+                       help="render/analyze a raw bit stream "
+                            "(ref bitview_app)")
+    p.add_argument("file")
+    p.add_argument("-o", "--output", default="bitview.png")
+    p.add_argument("--period", type=int, default=None,
+                   help="bit period (row width); omit to auto-detect")
+    p.add_argument("--soft", action="store_true",
+                   help="input is signed soft bytes (soft2hard first)")
+    p.add_argument("--diff", action="store_true",
+                   help="NRZ-M differential decode")
+    p.add_argument("--reverse", action="store_true",
+                   help="reverse bit order within bytes")
+    p.set_defaults(fn=cmd_bitview)
 
     p = sub.add_parser("live", help="live decode from a streaming source")
     p.add_argument("id", help="pipeline id ('-' with --vfo for VFO-only)")
