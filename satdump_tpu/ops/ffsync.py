@@ -454,6 +454,25 @@ def ff_clock_recovery(state: FFClockState, x: jnp.ndarray, *, sps: float,
     return new_state, syms, valid
 
 
+def _direct_mf(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Matched filter as ntaps shifted multiply-adds (direct form). Same
+    causal alignment as _segmented_mf: y[k] = sum_t taps[t]*x[k-t+ntaps-1]
+    windowed on x. For short real-tap filters (RRC, 31 taps) the direct
+    form is one fused pass over HBM — the FFT formulation pays 2 full
+    transforms (candidate replacement; selected via chainprofile)."""
+    ntaps = taps.shape[0]
+    n = x.shape[-1]
+    xp = jnp.concatenate([jnp.zeros(ntaps - 1, x.dtype), x])
+    y = jnp.zeros(n, x.dtype)
+    for t in range(ntaps):
+        c = float(taps[t])
+        if c == 0.0:
+            continue
+        y = y + c * jax.lax.slice(xp, (ntaps - 1 - t,),
+                                  (ntaps - 1 - t + n,))
+    return y
+
+
 def _segmented_mf(x: jnp.ndarray, taps: np.ndarray,
                   seg: int = 1 << 14) -> jnp.ndarray:
     """Matched filter via SEGMENTED overlap-save: a batch of seg-point FFTs

@@ -58,6 +58,9 @@ def main():
     def stage_rrc(x):
         return ffsync._segmented_mf(x, rrc)
 
+    def stage_rrc_direct(x):
+        return ffsync._direct_mf(x, rrc)
+
     def stage_cfo(x):
         f = ffsync.cfo_estimate(x, 4, suppress_nyquist_image=True)
         return ffsync.cfo_correct(x, f, 0.0)
@@ -92,6 +95,17 @@ def main():
             [u8, jnp.full((vit_pairs - u8.shape[0], 2), 128.0)])
 
     def stage_viterbi(p):
+        # the path the chain actually ships on TPU (Pallas RE kernel)
+        u8p = prep_u8(p)
+        from satdump_tpu.ops.ffsync import _on_tpu
+        if _on_tpu():
+            from satdump_tpu.ops.pallas.viterbi import viterbi_re_pallas
+            return viterbi_re_pallas(u8p, seg=SEG, ovl=HALO
+                                     ).astype(jnp.float32)
+        return cc.viterbi_decode_tiled_re(
+            u8p, seg=SEG, ovl=HALO, unroll=1).astype(jnp.float32)
+
+    def stage_viterbi_xla(p):
         u8p = prep_u8(p)
         return cc.viterbi_decode_tiled_re(
             u8p, seg=SEG, ovl=HALO, unroll=4).astype(jnp.float32)
@@ -135,11 +149,13 @@ def main():
         corrected, rs_errs = chain.rs.decode_interleaved(payload, 4)
         return jnp.sum(rs_errs).astype(jnp.float32)
 
-    DEMOD = {"agc": stage_agc, "rrc": stage_rrc, "cfo": stage_cfo,
+    DEMOD = {"agc": stage_agc, "rrc": stage_rrc,
+             "rrc_direct": stage_rrc_direct, "cfo": stage_cfo,
              "vv": stage_vv, "om": stage_om, "pick": stage_pick,
              "quant": stage_quant}
-    FEC = {"viterbi": stage_viterbi, "ber": stage_ber,
-           "deframe": stage_deframe, "rs": stage_rs}
+    FEC = {"viterbi": stage_viterbi, "viterbi_xla": stage_viterbi_xla,
+           "ber": stage_ber, "deframe": stage_deframe, "rs": stage_rs}
+    ALT = {"rrc_direct", "viterbi_xla"}   # variants, not chain stages
 
     sel = set(args.stages.split(",")) if args.stages else None
 
@@ -191,9 +207,9 @@ def main():
               f"   (compile {tcomp:.0f}s)", flush=True)
 
     if not sel:
-        inv = sum(1.0 / v for v in results.values())
+        inv = sum(1.0 / v for k, v in results.items() if k not in ALT)
         print(f"{'SUM(1/r)':10s}: {1.0 / inv:9.1f} Msamp/s predicted "
-              f"full-chain", flush=True)
+              f"full-chain (variants excluded)", flush=True)
 
 
 if __name__ == "__main__":
