@@ -207,3 +207,40 @@ def test_rtl_tcp_wire_fixture(rng):
     assert cmds[5:10] == bytes([1]) + (137_100_000).to_bytes(4, "big")
     assert cmds[10:15] == bytes([3]) + (1).to_bytes(4, "big")
     assert cmds[15:20] == bytes([4]) + (496).to_bytes(4, "big")
+
+
+def test_frame_fanin_multi_site(rng):
+    """Distributed ingest: three 'sites' publish overlapping, gappy CADU
+    streams; the fan-in server emits each frame exactly once (merged by
+    the VCID + VCDU counter every AOS frame carries). SURVEY §5 multi-host
+    fan-in — new design territory, no reference counterpart."""
+    from satdump_tpu.io.fanin import FrameFanInServer, publish_frames
+
+    n = 60
+    cadus = np.zeros((n, 1024), np.uint8)
+    cadus[:, 0:4] = [0x1A, 0xCF, 0xFC, 0x1D]
+    cadus[:, 5] = 0x01                       # VCID 1
+    for i in range(n):                       # 24-bit counter
+        cadus[i, 6:9] = [(i >> 16) & 0xFF, (i >> 8) & 0xFF, i & 0xFF]
+        cadus[i, 10:] = rng.integers(0, 256, 1014)
+
+    # site A gets the first 2/3, site B the last 2/3, site C random half
+    a = cadus[: 2 * n // 3]
+    b = cadus[n // 3:]
+    keep = rng.random(n) < 0.5
+    c = cadus[keep]
+
+    srv = FrameFanInServer(port=0)
+    srv.start(n_publishers=3)
+    for site in (a, b, c):
+        t = threading.Thread(target=publish_frames,
+                             args=("127.0.0.1", srv.port, site))
+        t.start()
+
+    got = list(srv.frames(timeout=10))
+    srv.close()
+    assert len(got) == n                     # every frame exactly once
+    ctrs = sorted((g[6].astype(int) << 16) | (g[7].astype(int) << 8)
+                  | g[8] for g in got)
+    assert ctrs == list(range(n))
+    assert srv.stats["duplicates"] == (len(a) + len(b) + len(c)) - n
