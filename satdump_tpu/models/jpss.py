@@ -400,10 +400,23 @@ class JPSSInstrumentsDecoderModule(ProcessingModule):
             ds.products_list.append("VIIRS")
 
         if atms.lines:
+            from satdump_tpu.products.calibrators import ATMS_FREQ_GHZ
+            from satdump_tpu.products.calibration import freq_to_wavenumber
             ap = ImageProduct()
             ap.instrument_name = "atms"
             for c in range(22):
-                ap.add_channel(atms.get_channel(c), str(c + 1), bit_depth=16)
+                ap.add_channel(
+                    atms.get_channel(c), str(c + 1), bit_depth=16,
+                    wavenumber=freq_to_wavenumber(ATMS_FREQ_GHZ[c] * 1e9),
+                    calibration_type="emissive_radiance")
+            # per-scan cold/warm views -> two-point calibration
+            # (atms_calibrator.cpp; warm-load temp simplified to 285 K)
+            ap.set_calibration("jpss_atms", {"vars": {
+                "cold_counts": [r.mean(axis=1).tolist()
+                                for r in atms._cc],
+                "warm_counts": [r.mean(axis=1).tolist()
+                                for r in atms._wc],
+                "warm_temp": 285.0}})
             # matches reference projections_settings/jpss_atms.json
             ap.set_proj_cfg_tle_timestamps(
                 {"type": "normal_line", "scan_angle": 107,

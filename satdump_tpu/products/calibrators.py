@@ -30,6 +30,7 @@ import numpy as np
 from satdump_tpu.products.calibration import (CALIBRATION_INVALID_VALUE,
                                               ImageCalibrator,
                                               calibrator_registry,
+                                              freq_to_wavenumber,
                                               temperature_to_radiance,
                                               wavenumber_to_freq)
 
@@ -202,9 +203,59 @@ class MeteorMsuMrCalibrator(ImageCalibrator):
         return np.where(bad, _INVALID, rad)
 
 
+# ATMS channel center frequencies, GHz (ATMS SDR coefficient table,
+# ref atms_calibrator.cpp atmsSdrCoeffsPtr.centralFrequency)
+ATMS_FREQ_GHZ = [23.8, 31.4, 50.3, 51.76, 52.8, 53.596, 54.4, 54.94,
+                 55.5, 57.2903, 57.2903, 57.2903, 57.2903, 57.2903,
+                 57.2903, 88.2, 165.5, 183.31, 183.31, 183.31, 183.31,
+                 183.31]
+
+
+class JpssAtmsCalibrator(ImageCalibrator):
+    """ATMS counts -> radiance by per-scan two-point calibration against
+    the cold-space and warm-load views the scan itself carries (ref
+    atms_calibrator.cpp; the reference additionally folds PRT telemetry
+    into the warm-load temperature — here the warm temperature comes from
+    cfg vars ("warm_temp" per scan or scalar, default 285 K), a documented
+    simplification worth ~1 K absolute).
+
+    vars = {"cold_counts": [scan][ch], "warm_counts": [scan][ch],
+            "warm_temp": scalar | [scan]}"""
+
+    T_COLD = 2.7279  # cosmic background, atms_calibrator SPACE_TEMP
+
+    def compute(self, channel_idx: int, counts: np.ndarray) -> np.ndarray:
+        v = self.cfg.get("vars", {})
+        cc = np.asarray(v.get("cold_counts", []), np.float64)
+        wc = np.asarray(v.get("warm_counts", []), np.float64)
+        c = np.asarray(counts, np.float64)
+        out = np.full(c.shape, _INVALID)
+        if cc.ndim != 2 or wc.ndim != 2 or not len(cc):
+            return out
+        wavenum = freq_to_wavenumber(ATMS_FREQ_GHZ[channel_idx] * 1e9)
+        wt = v.get("warm_temp", 285.0)
+        wt = np.asarray(wt, np.float64)
+        if wt.ndim == 0:
+            wt = np.full(len(cc), float(wt))
+        nl = min(c.shape[0], len(cc))
+        li = np.clip(np.arange(c.shape[0]), 0, len(cc) - 1)
+        cold = cc[li, channel_idx][:, None]
+        warm = wc[li, channel_idx][:, None]
+        cold_rad = temperature_to_radiance(self.T_COLD, wavenum)
+        warm_rad = temperature_to_radiance(wt[li], wavenum)[:, None]
+        denom = warm - cold
+        denom = np.where(denom == 0, 1.0, denom)
+        gain = (warm_rad - cold_rad) / denom
+        rad = cold_rad + (c - cold) * gain
+        bad = (cold == 0) | (warm == 0) | (c == 0)
+        del nl
+        return np.where(bad, _INVALID, rad)
+
+
 calibrator_registry.register("noaa_mhs", NoaaMHSCalibrator)
 calibrator_registry.register("noaa_amsu", NoaaMHSCalibrator)
 calibrator_registry.register("noaa_hirs", NoaaHIRSCalibrator)
 calibrator_registry.register("metop_ascat", MetOpASCATCalibrator)
 calibrator_registry.register("metop_iasi_img", MetOpIASIImagingCalibrator)
 calibrator_registry.register("meteor_msumr", MeteorMsuMrCalibrator)
+calibrator_registry.register("jpss_atms", JpssAtmsCalibrator)

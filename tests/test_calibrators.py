@@ -92,3 +92,39 @@ def test_msumr_visible():
     assert out[0, 0] > 0
     zero = cal.compute(0, np.array([[47.0]]))
     assert zero[0, 0] == 0.0
+
+
+def test_jpss_atms_two_point():
+    """ATMS counts -> radiance via per-scan cold/warm views; exact
+    two-point inversion (ref atms_calibrator.cpp, PRT term simplified)."""
+    from satdump_tpu.products.calibration import (calibrate_channel,
+                                                  freq_to_wavenumber,
+                                                  temperature_to_radiance)
+    from satdump_tpu.products.calibrators import ATMS_FREQ_GHZ
+    from satdump_tpu.products.image_product import ImageProduct
+
+    ch = 15                                  # 88.2 GHz
+    wn = freq_to_wavenumber(ATMS_FREQ_GHZ[ch] * 1e9)
+    rc = temperature_to_radiance(2.7279, wn)
+    rw = temperature_to_radiance(285.0, wn)
+    cold_cnt, warm_cnt = 1000.0, 30000.0
+    gain = (rw - rc) / (warm_cnt - cold_cnt)
+
+    # pick counts whose expected BT is 240 K
+    r240 = temperature_to_radiance(240.0, wn)
+    cnt = cold_cnt + (r240 - rc) / gain
+    img = np.full((3, 96), round(cnt), np.uint16)
+    p = ImageProduct()
+    p.instrument_name = "atms"
+    for c in range(22):
+        p.add_channel(np.zeros((3, 96), np.uint16) if c != ch else img,
+                      str(c + 1),
+                      wavenumber=freq_to_wavenumber(
+                          ATMS_FREQ_GHZ[c] * 1e9),
+                      calibration_type="emissive_radiance", bit_depth=16)
+    p.set_calibration("jpss_atms", {"vars": {
+        "cold_counts": [[cold_cnt] * 22] * 3,
+        "warm_counts": [[warm_cnt] * 22] * 3,
+        "warm_temp": 285.0}})
+    bt = calibrate_channel(p, str(ch + 1), "brightness_temperature")
+    assert abs(float(bt[1, 40]) - 240.0) < 0.1
