@@ -236,6 +236,67 @@ def gmst_ut1(t_unix: float, info: Optional[IERSInfo]) -> np.ndarray:
     return gmst(unix_to_jd(np.asarray(t_unix, np.float64) + dut1))
 
 
+# Truncated IAU 2000B nutation: the 13 largest luni-solar terms (of 77),
+# good to ~1 mas in dPsi/dEps — ample for imaging geolocation (the
+# reference reaches full precision through SuperNOVAS' iau2000b tables).
+# Columns: multipliers of (l, l', F, D, Om) then dPsi sin/cos and
+# dEps cos/sin coefficients in 0.1 µas (IAU SOFA nut00b convention).
+_NUT_TERMS = np.array([
+    #  l   l'  F   D   Om      ps        pst       pc      ec       ect      es
+    [0,  0,  0,  0,  1, -172064161.0, -174666.0, 33386.0, 92052331.0, 9086.0, 15377.0],
+    [0,  0,  2, -2,  2,  -13170906.0,   -1675.0, -13696.0, 5730336.0, -3015.0, -4587.0],
+    [0,  0,  2,  0,  2,   -2276413.0,    -234.0,  2796.0,  978459.0,  -485.0,  1374.0],
+    [0,  0,  0,  0,  2,    2074554.0,     207.0,  -698.0, -897492.0,   470.0,  -291.0],
+    [0,  1,  0,  0,  0,    1475877.0,   -3633.0, 11817.0,   73871.0,  -184.0, -1924.0],
+    [0,  1,  2, -2,  2,    -516821.0,    1226.0,  -524.0,  224386.0,  -677.0,  -174.0],
+    [1,  0,  0,  0,  0,     711159.0,      73.0,  -872.0,   -6750.0,     0.0,   358.0],
+    [0,  0,  2,  0,  1,    -387298.0,    -367.0,   380.0,  200728.0,    18.0,   318.0],
+    [1,  0,  2,  0,  2,    -301461.0,     -36.0,   816.0,  129025.0,   -63.0,   367.0],
+    [0, -1,  2, -2,  2,     215829.0,    -494.0,   111.0,  -95929.0,   299.0,   132.0],
+    [0,  0,  2, -2,  1,     128227.0,     137.0,   181.0,  -68982.0,    -9.0,    39.0],
+    [-1, 0,  2,  0,  2,     123457.0,      11.0,    19.0,  -53311.0,    32.0,    -4.0],
+    [-1, 0,  0,  2,  0,     156994.0,      10.0,  -168.0,   -1235.0,     0.0,    82.0],
+], np.float64)
+
+
+def nutation_iau2000b(t_unix) -> tuple:
+    """(dPsi, dEps) in radians — truncated IAU 2000B series (see
+    _NUT_TERMS). Vectorized over time."""
+    t = (np.asarray(t_unix, np.float64) / 86400.0 + 2440587.5
+         - 2451545.0) / 36525.0
+    # Delaunay arguments, arcsec (IAU 2000B / SOFA nut00b)
+    l = 485868.249036 + 1717915923.2178 * t
+    lp = 1287104.79305 + 129596581.0481 * t
+    F = 335779.526232 + 1739527262.8478 * t
+    D = 1072260.70369 + 1602961601.2090 * t
+    Om = 450160.398036 - 6962890.5431 * t
+    args = np.stack([l, lp, F, D, Om], axis=-1) * ARCSEC  # (..., 5)
+    m = _NUT_TERMS[:, :5]                                # (T, 5)
+    ph = np.tensordot(args, m.T, axes=1)                 # (..., T)
+    ps, pst, pc = _NUT_TERMS[:, 5], _NUT_TERMS[:, 6], _NUT_TERMS[:, 7]
+    ec, ect, es = _NUT_TERMS[:, 8], _NUT_TERMS[:, 9], _NUT_TERMS[:, 10]
+    t_ = np.asarray(t)[..., None]
+    dpsi = np.sum((ps + pst * t_) * np.sin(ph) + pc * np.cos(ph), axis=-1)
+    deps = np.sum((ec + ect * t_) * np.cos(ph) + es * np.sin(ph), axis=-1)
+    u = 1e-7 * ARCSEC   # table unit: 0.1 µas
+    return dpsi * u, deps * u
+
+
+def mean_obliquity(t_unix) -> np.ndarray:
+    t = (np.asarray(t_unix, np.float64) / 86400.0 + 2440587.5
+         - 2451545.0) / 36525.0
+    eps = 84381.406 - 46.836769 * t - 0.0001831 * t * t
+    return eps * ARCSEC
+
+
+def gast(t_unix: float, info: Optional[IERSInfo] = None) -> np.ndarray:
+    """Greenwich APPARENT sidereal time: GMST(UT1) + the equation of the
+    equinoxes dPsi·cos(eps) — the rotation SuperNOVAS applies via its full
+    nutation model (here the truncated 2000B series, ~1 mas)."""
+    dpsi, _ = nutation_iau2000b(t_unix)
+    return gmst_ut1(t_unix, info) + dpsi * np.cos(mean_obliquity(t_unix))
+
+
 def eci_to_ecef_iers(r_eci: np.ndarray, t_unix,
                      info: Optional[IERSInfo]) -> np.ndarray:
     """eci_to_ecef upgraded with UT1 sidereal time + polar motion."""

@@ -113,3 +113,24 @@ def test_auto_update_scheduling(monkeypatch, tmp_path):
     assert "auto_iers_update" in fired
     assert fetched == ["u1", "u2"]
     assert st.get(1.7e9) is not None
+
+
+def test_nutation_iau2000b():
+    """Truncated IAU 2000B nutation: magnitudes and sign behavior match
+    the known series (dPsi ~ -17"..+17", dominated by the 18.6-year Om
+    term; dEps ~ ±9.2")."""
+    from satdump_tpu.geo.iers import (gast, gmst_ut1, mean_obliquity,
+                                      nutation_iau2000b)
+    t = np.array([0.0, 0.5e9, 1.0e9, 1.7e9])
+    dpsi, deps = nutation_iau2000b(t)
+    arcsec = np.pi / 648000
+    assert np.all(np.abs(dpsi) < 20 * arcsec)
+    assert np.all(np.abs(deps) < 11 * arcsec)
+    assert np.any(np.abs(dpsi) > 2 * arcsec)   # not trivially zero
+    # obliquity ~ 23.43 deg
+    eps = mean_obliquity(1.7e9)
+    assert abs(np.degrees(eps) - 23.436) < 0.01
+    # GAST - GMST = equation of equinoxes = dPsi cos(eps), < 1.2"
+    d = float(gast(1.7e9) - gmst_ut1(1.7e9, None))
+    assert abs(d) < 1.2 * 15 * arcsec
+    assert abs(d - float(dpsi[3] * np.cos(eps))) < 1e-12
