@@ -128,3 +128,28 @@ def test_jpss_atms_two_point():
         "warm_temp": 285.0}})
     bt = calibrate_channel(p, str(ch + 1), "brightness_temperature")
     assert abs(float(bt[1, 40]) - 240.0) < 0.1
+
+
+def test_generic_xrit_lut():
+    """Generic xRIT calibration-table calibrator: spline through the
+    published (count, value) points (ref generic_xrit_calibrator.h)."""
+    from satdump_tpu.products.calibration import calibrate_channel
+    from satdump_tpu.products.image_product import ImageProduct
+
+    p = ImageProduct()
+    p.instrument_name = "ami"
+    img = np.array([[0, 256, 512, 768, 1020]], np.uint16)
+    p.add_channel(img, "ir105", bit_depth=10,
+                  calibration_type="brightness_temperature")
+    p.set_calibration("generic_xrit", {"vars": {
+        "ir105": [[0, 330.0], [512, 250.0], [1023, 180.0]],
+        "to_complete": True}})
+    v = calibrate_channel(p, "ir105")
+    assert v[0, 2] == pytest.approx(250.0, abs=1.0)
+    assert 170 < v[0, 4] < 200 and 280 < v[0, 1] < 300
+    # bits_for_calib rescales the LUT domain
+    p.set_calibration("generic_xrit", {"vars": {
+        "ir105": [[0, 330.0], [128, 250.0], [255, 180.0]],
+        "bits_for_calib": {"ir105": 8}}})
+    v8 = calibrate_channel(p, "ir105")
+    assert v8[0, 2] == pytest.approx(250.0, abs=2.0)
