@@ -133,14 +133,59 @@ class MinSumDecoder:
         self._chk_vars = jnp.asarray(code.chk_vars)
         self._valid = jnp.asarray(code.chk_vars >= 0)
 
+    _warned_fallback = False
+
     def decode(self, llr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """llr (B, n) float (positive = bit 0, like the reference's soft
         convention after sign flip). Returns (bits (B, n) uint8, ok (B,))."""
         from satdump_tpu.utils import xfer
-        llr = jnp.asarray(np.asarray(llr, np.float32))
-        bits, ok = _minsum_iters(llr, self._chk_vars, self._valid,
-                                 self.iters, self.alpha)
-        return xfer.get(bits).astype(np.uint8), xfer.get(ok).astype(bool)
+        llr_d = jnp.asarray(np.asarray(llr, np.float32))
+        try:
+            bits, ok = _minsum_iters(llr_d, self._chk_vars, self._valid,
+                                     self.iters, self.alpha)
+            return (xfer.get(bits).astype(np.uint8),
+                    xfer.get(ok).astype(bool))
+        except Exception as e:  # pragma: no cover - device-specific
+            # the axon remote compiler is known to crash on this graph
+            # (tools/tpu_smoke.py: remote_compile SIGSEGV); degrade to the
+            # NumPy formulation rather than taking the pipeline down
+            if not MinSumDecoder._warned_fallback:
+                from satdump_tpu.core.log import logger
+                logger.warning(f"LDPC device decode failed ({e}); "
+                               "falling back to NumPy min-sum")
+                MinSumDecoder._warned_fallback = True
+            return self._decode_numpy(np.asarray(llr, np.float32))
+
+    def _decode_numpy(self, llr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized NumPy normalized min-sum — same edge layout and
+        update as _minsum_iters (the device path's golden model)."""
+        chk_vars = np.asarray(self.code.chk_vars)
+        valid = chk_vars >= 0
+        cv = np.maximum(chk_vars, 0)
+        B, n = llr.shape
+        m, dc = chk_vars.shape
+        total = llr.copy()
+        r = np.zeros((B, m, dc), np.float32)
+        for _ in range(self.iters):
+            q = np.where(valid[None], total[:, cv] - r, 0.0)
+            aq = np.where(valid[None], np.abs(q), np.inf)
+            sgn = np.where(valid[None], np.where(q < 0, -1.0, 1.0), 1.0)
+            m1 = np.min(aq, axis=-1, keepdims=True)
+            is_min = (aq == m1) & (np.cumsum(aq == m1, axis=-1) == 1)
+            m2 = np.min(np.where(is_min, np.inf, aq), axis=-1,
+                        keepdims=True)
+            excl_min = np.where(is_min, m2, m1)
+            tot_sign = np.prod(sgn, axis=-1, keepdims=True)
+            r = np.where(valid[None],
+                         self.alpha * tot_sign * sgn * excl_min, 0.0
+                         ).astype(np.float32)
+            acc = np.zeros((B, n), np.float32)
+            np.add.at(acc.reshape(B, n), (slice(None), cv.reshape(-1)),
+                      (r * valid[None]).reshape(B, -1))
+            total = llr + acc
+        bits = (total < 0).astype(np.uint8)
+        parity = (bits[:, cv] * valid[None]).sum(axis=-1) % 2
+        return bits, np.all(parity == 0, axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -54,3 +54,23 @@ def test_code_from_dense_roundtrip():
     code = code_from_dense(H)
     assert code.n == 6 and code.m == 3 and code.dc_max == 3
     np.testing.assert_array_equal(code.H, H)
+
+
+def test_numpy_fallback_matches_device(rng):
+    """The NumPy min-sum fallback (used when the axon remote compiler
+    crashes on the device graph, tools/tpu_smoke.py) must match the
+    jitted formulation bit-for-bit."""
+    from satdump_tpu.ops.fec.ldpc import (MinSumDecoder, SystematicEncoder,
+                                          make_regular_code)
+    code = make_regular_code(256, 3, 6, seed=1)
+    enc = SystematicEncoder(code)
+    dec = MinSumDecoder(code, iters=12)
+    bits = rng.integers(0, 2, (4, enc.k)).astype(np.uint8)
+    cw = enc.encode(bits)
+    llr = np.where(cw > 0, -4.0, 4.0) + rng.normal(0, 1.2, cw.shape)
+    llr = llr.astype(np.float32)
+    b_dev, ok_dev = dec.decode(llr)
+    b_np, ok_np = dec._decode_numpy(llr)
+    np.testing.assert_array_equal(b_dev, b_np)
+    np.testing.assert_array_equal(ok_dev, ok_np)
+    assert ok_dev.any()
