@@ -373,3 +373,18 @@ def compute_gcps(proj_cfg: dict, width: int, height: int,
     lat, lon = rt.get_latlon(gx.ravel(), gy.ravel())
     ok = np.isfinite(lat) & np.isfinite(lon)
     return np.stack([gx.ravel()[ok], gy.ravel()[ok], lon[ok], lat[ok]], axis=-1)
+
+
+def load_proj_settings(name: str, **overrides) -> dict:
+    """Load a projection-settings resource
+    (resources/projections_settings/<name>.json — the reference's
+    satellite-raytracer cfg files, src-core resources::getResourcePath
+    usage across the instrument modules). Overrides merge on top (norad,
+    timestamps, tle get attached by the caller)."""
+    import json
+    from pathlib import Path
+    p = Path(__file__).resolve().parent.parent.parent / "resources" \
+        / "projections_settings" / f"{name}.json"
+    cfg = json.loads(p.read_text())
+    cfg.update(overrides)
+    return cfg

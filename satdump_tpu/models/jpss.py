@@ -23,6 +23,7 @@ import numpy as np
 
 from satdump_tpu.ccsds import CCSDSPacket, Demuxer, parse_ccsds_time, parse_vcdu
 from satdump_tpu.core.log import logger
+from satdump_tpu.geo.raytrace import load_proj_settings
 from satdump_tpu.image.geometry import correct_generic_bowtie
 from satdump_tpu.pipeline.module import ProcessingModule, register_module
 from satdump_tpu.products.image_product import ImageProduct
@@ -392,9 +393,7 @@ class JPSSInstrumentsDecoderModule(ProcessingModule):
             ts = viirs["I1"].timestamps or next(
                 r.timestamps for r in viirs.values() if r.timestamps)
             vp.set_proj_cfg_tle_timestamps(
-                {"type": "normal_line", "scan_angle": 112.3,
-                 "image_width": 6400, "gcp_spacing_x": 100,
-                 "gcp_spacing_y": 32, "norad": norad},
+                load_proj_settings("jpss_viirs", norad=norad),
                 {"name": sat_name, "norad": norad}, ts)
             vp.save(str(out_dir / "VIIRS"))
             ds.products_list.append("VIIRS")
@@ -417,15 +416,8 @@ class JPSSInstrumentsDecoderModule(ProcessingModule):
                 "warm_counts": [r.mean(axis=1).tolist()
                                 for r in atms._wc],
                 "warm_temp": 285.0}})
-            # matches reference projections_settings/jpss_atms.json
             ap.set_proj_cfg_tle_timestamps(
-                {"type": "normal_line", "scan_angle": 107,
-                 "roll_offset": -1.3, "timestamp_offset": -2,
-                 "image_width": 96, "gcp_spacing_x": 5,
-                 "gcp_spacing_y": 5,
-                 "timefilter": {"type": "simple", "scan_time": 2.66,
-                                "max_diff": 10.0},
-                 "norad": norad},
+                load_proj_settings("jpss_atms", norad=norad),
                 {"name": sat_name, "norad": norad}, atms.timestamps)
             ap.save(str(out_dir / "ATMS"))
             ds.products_list.append("ATMS")

@@ -22,6 +22,7 @@ from typing import List
 import numpy as np
 
 from satdump_tpu.core.log import logger
+from satdump_tpu.geo.raytrace import load_proj_settings
 from satdump_tpu.ops.fec.codings_misc import SimpleDeframer
 from satdump_tpu.ops.fec.deframer import CCSDSDeframer
 from satdump_tpu.pipeline.module import ProcessingModule, register_module
@@ -317,16 +318,9 @@ class MeteorInstrumentsModule(ProcessingModule):
                                bit_depth=16)
             mp.contents["timestamps"] = mreader.timestamps
             mp.contents["norad"] = NORADS.get(serial, 0)
-            # matches reference projections_settings/meteor_m2-3_mtvza.json
             mp.set_proj_cfg_tle_timestamps(
-                {"type": "normal_single_line", "scan_angle": 72,
-                 "pitch_offset": -53.3, "yaw_offset_asc": 30,
-                 "yaw_offset_des": 30, "rotate_yaw": True,
-                 "image_width": 100, "timestamp_offset": -10,
-                 "gcp_spacing_x": 10, "gcp_spacing_y": 10,
-                 "timefilter": {"type": "simple", "scan_time": 2.41,
-                                "max_diff": 10.0},
-                 "norad": NORADS.get(serial, 0)},
+                load_proj_settings("meteor_mtvza",
+                                   norad=NORADS.get(serial, 0)),
                 {"name": sat_name, "norad": NORADS.get(serial, 0)},
                 mreader.timestamps)
             mp.save(str(Path(directory) / "MTVZA"))

@@ -20,6 +20,7 @@ import numpy as np
 
 from satdump_tpu.ccsds import CCSDSPacket, Demuxer, parse_ccsds_time, parse_vcdu
 from satdump_tpu.core.log import logger
+from satdump_tpu.geo.raytrace import load_proj_settings
 from satdump_tpu.pipeline.module import ProcessingModule, register_module
 from satdump_tpu.products.calibration import (ImageCalibrator,
                                               calibrator_registry)
@@ -433,15 +434,8 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             calib = self.param("avhrr_calib")
             if calib:
                 p.set_calibration("noaa_avhrr3", dict(calib))
-            # matches reference projections_settings/metop_abc_avhrr.json
             p.set_proj_cfg_tle_timestamps(
-                {"type": "normal_line", "scan_angle": 110.6,
-                 "roll_offset": -0.03, "timestamp_offset": 0.3,
-                 "image_width": 2048,
-                 "gcp_spacing_x": 100, "gcp_spacing_y": 100,
-                 "timefilter": {"type": "simple", "scan_time": 0.2,
-                                "max_diff": 1.0},
-                 "norad": norad},
+                load_proj_settings("metop_abc_avhrr", norad=norad),
                 {"name": sat_name, "norad": norad},
                 avhrr.timestamps)
             p.save(str(out_dir / "AVHRR"))
@@ -455,15 +449,8 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             for c, ch in enumerate(mhs.channels()):
                 pm.add_channel(ch, str(c + 1), bit_depth=16,
                                wavenumber=wn[c])
-            # matches reference projections_settings/metop_abc_mhs.json
             pm.set_proj_cfg_tle_timestamps(
-                {"type": "normal_line", "scan_angle": 100.0,
-                 "roll_offset": 0.5, "timestamp_offset": -1,
-                 "image_width": 90, "gcp_spacing_x": 5,
-                 "gcp_spacing_y": 5,
-                 "timefilter": {"type": "simple", "scan_time": 2.33,
-                                "max_diff": 10.0},
-                 "norad": norad},
+                load_proj_settings("metop_abc_mhs", norad=norad),
                 {"name": sat_name, "norad": norad}, mhs.timestamps)
             pm.save(str(out_dir / "MHS"))
             ds.products_list.append("MHS")
@@ -477,14 +464,8 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
             img = correct_generic_bowtie(img, 64, 1.0 / 2.2, 1.0 - 1.0 / 2.2)
             pi.add_channel(img, "1", bit_depth=16, wavenumber=875.0)
             pi.set_calibration("metop_iasi_img", {"vars": iasi_img.calib})
-            # matches reference projections_settings/metop_abc_iasi_img.json
             pi.set_proj_cfg_tle_timestamps(
-                {"type": "normal_per_ifov", "scan_angle": 99.6,
-                 "roll_offset": -1.7, "image_width": 30 * 64,
-                 "ifov_count": 30, "ifov_x_size": 64, "ifov_y_size": 64,
-                 "ifov_x_scan_angle": 3, "ifov_y_scan_angle": 3,
-                 "gcp_spacing_x": 100, "gcp_spacing_y": 100,
-                 "norad": norad},
+                load_proj_settings("metop_abc_iasi_img", norad=norad),
                 {"name": sat_name, "norad": norad}, iasi_img.timestamps)
             pi.save(str(out_dir / "IASI-IMG"))
             ds.products_list.append("IASI-IMG")
@@ -513,14 +494,8 @@ class MetOpInstrumentsDecoderModule(ProcessingModule):
                                 bit_depth=16)
             pa1.contents["timestamps_a1"] = amsu.timestamps_a1
             pa1.contents["timestamps_a2"] = amsu.timestamps_a2
-            # matches reference projections_settings/metop_abc_amsu.json
             pa1.set_proj_cfg_tle_timestamps(
-                {"type": "normal_single_line", "scan_angle": 98,
-                 "yaw_offset": 2, "image_width": 30,
-                 "gcp_spacing_x": 2, "gcp_spacing_y": 2,
-                 "timefilter": {"type": "simple", "scan_time": 8,
-                                "max_diff": 30.0},
-                 "norad": norad},
+                load_proj_settings("metop_abc_amsu", norad=norad),
                 {"name": sat_name, "norad": norad},
                 amsu.timestamps_a1 or amsu.timestamps_a2)
             pa1.save(str(out_dir / "AMSU"))
