@@ -9,9 +9,9 @@ plus the identification rules of xrit/identify.cpp:
 * Elektro / MSG: dash-separated EUMETSAT names
   (``H-000-GOMS3_...-<channel>-...-<YYYYmmddHHMM>-__``), the MSG-style
   segment identification header (type 128: channel id, segment number,
-  planned start/end, compression), JPEG (flag 2) decompression. MSG's
-  wavelet (DecompWT, flag 1) is not implemented yet — such segments are
-  saved raw.
+  planned start/end, compression), JPEG (flag 2, incl. native 12-bit) and
+  wavelet (DecompWT, flag 1 — xrit/decompwt.py) decompression; segments
+  whose WT stream fails to parse are preserved raw under WAVELET_RAW.
 """
 
 from __future__ import annotations
