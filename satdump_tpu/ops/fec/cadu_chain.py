@@ -70,20 +70,20 @@ def _conv_encode_dev(bits: jnp.ndarray) -> jnp.ndarray:
 
 def _asm_distance(bits: jnp.ndarray, pattern: np.ndarray) -> jnp.ndarray:
     """Hamming distance of the 32-bit pattern at every offset: 32 shifted
-    adds, no gathers. bits: (N,) int 0/1 -> (N-31,) int32.
+    adds, no gathers. bits: (N,) int32 0/1 -> (N-31,) int32.
 
-    Accumulates in int8 (max distance 32 < 127): the 32 slice+add passes
-    are HBM-bandwidth-bound, so int8 moves 4x fewer bytes than the old
-    int32 form."""
+    Stays int32: an int8 accumulator variant (4x less nominal HBM
+    traffic) measured SLOWER end-to-end on the axon v5e — narrow-int
+    1-D streams pay (32,128)-tile relayouts that swamp the bandwidth
+    saving (bench 151.7 -> 125.1, reverted)."""
     m = len(pattern)
     n = bits.shape[0]
     nv = n - m + 1
-    b8 = bits.astype(jnp.int8)
-    dist = jnp.zeros((nv,), jnp.int8)
+    dist = jnp.zeros((nv,), jnp.int32)
     for j in range(m):
-        bj = jax.lax.slice(b8, (j,), (j + nv,))
-        dist = dist + (bj ^ jnp.int8(int(pattern[j])))
-    return dist.astype(jnp.int32)
+        bj = jax.lax.slice(bits, (j,), (j + nv,))
+        dist = dist + (bj ^ int(pattern[j]))
+    return dist
 
 
 class CaduChain:
