@@ -327,6 +327,32 @@ def _strip_geometry(sps: float, ntaps: int, skew_max: float = 0.003
     return min(2048, 1 << (G.bit_length() - 1)), D
 
 
+_BANK_POLY_CACHE: dict = {}
+
+
+def _bank_poly_coefs(bank: np.ndarray, deg: int = 10) -> np.ndarray:
+    """Fit each interpolator tap as a polynomial in the fractional delay.
+    bank[branch, tap] with branch = round(frac * nfilt) — i.e. branch b
+    covers frac ≈ b/nfilt. Returns Horner-ordered coefficients
+    (deg+1, ntaps) float32, highest power first."""
+    key = (bank.shape, float(np.sum(bank)), deg)
+    hit = _BANK_POLY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nfilt, ntaps = bank.shape
+    fr = np.arange(nfilt) / nfilt
+    co = np.stack([np.polyfit(fr, np.asarray(bank[:, t], np.float64), deg)
+                   for t in range(ntaps)], axis=1).astype(np.float32)
+    err = 0.0
+    for t in range(ntaps):
+        err = max(err, float(np.abs(
+            np.polyval(co[:, t].astype(np.float64), fr)
+            - bank[:, t]).max()))
+    assert err < 5e-4, f"bank poly fit error {err}"
+    _BANK_POLY_CACHE[key] = co
+    return co
+
+
 def resample_strip(ext: jnp.ndarray, start: jnp.ndarray, omega: jnp.ndarray,
                    bank: np.ndarray, *, out_cap: int, sps: float,
                    n_in: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -363,16 +389,22 @@ def resample_strip(ext: jnp.ndarray, start: jnp.ndarray, omega: jnp.ndarray,
     ip = jnp.floor(p)
     frac = p - ip
     src = ip.astype(jnp.int32)
-    branch = jnp.clip(jnp.round(frac * nfilt).astype(jnp.int32), 0, nfilt - 1)
     k_rel = jnp.arange(G, dtype=jnp.int32)
     d = src.reshape(nseg, G) - c_s[:, None] - s0 * k_rel[None, :]
     d = jnp.clip(d, 0, D - 1)
 
-    # taps via one-hot MXU matmul (bf16): (cap,128) @ (128,8)
-    taps = jnp.dot(
-        jax.nn.one_hot(branch, nfilt, dtype=jnp.bfloat16),
-        jnp.asarray(bank, jnp.bfloat16),
-        preferred_element_type=jnp.float32).reshape(nseg, G, ntaps)
+    # taps as per-tap POLYNOMIALS in frac (Horner), replacing the one-hot
+    # MXU matmul: the (cap, 128) bf16 one-hot materialized ~256 MB of HBM
+    # traffic and measured 0.83 ms/blk (tools/pickprofile.py); the
+    # windowed-sinc bank is smooth in the branch index, so a degree-10 fit
+    # reproduces every branch value to <2e-4 (below the 1/128 branch
+    # quantization) in ~ntaps*deg FMAs over (cap,) — pure VPU
+    coefs = _bank_poly_coefs(bank)                # (deg+1, ntaps) host np
+    tp = jnp.full((cap, ntaps), float(coefs[0, 0]), jnp.float32) * 0 \
+        + jnp.asarray(coefs[0])[None, :]
+    for row in coefs[1:]:
+        tp = tp * frac[:, None] + jnp.asarray(row)[None, :]
+    taps = tp.reshape(nseg, G, ntaps)
 
     M = D + ntaps
     # de-interleave ONCE into s0 contiguous planes so each strip is a
