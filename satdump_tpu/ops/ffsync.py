@@ -514,6 +514,11 @@ def _segmented_mf(x: jnp.ndarray, taps: np.ndarray,
     alignment as the single-FFT form it replaces)."""
     ntaps = taps.shape[0]
     n = x.shape[-1]
+    if ntaps <= 64:
+        # short kernels: the direct shifted-add form is one fused VPU
+        # pass and beats both FFT variants (r5 chainprofile: 1.45 ms
+        # segmented-FFT vs <0.3 ms direct at 31 taps x 2^21 samples)
+        return _direct_mf(x, taps)
     if n <= seg:
         nfft = max(256, 1 << int(np.ceil(np.log2(n + ntaps - 1))))
         X = jnp.fft.fft(x, nfft)
