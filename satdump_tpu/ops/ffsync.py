@@ -194,8 +194,27 @@ def om_timing_fit(x: jnp.ndarray, sps: float, sub: int
         xh = jnp.zeros_like(x)
         for k in range(nt):
             xh = xh + hs[k] * xe[k: k + x.shape[-1]]
-        e2 = jnp.stack([_pw(x), _pw(xh)], axis=-1).reshape(-1)
-        tau_e, skew = _om_core(e2, 2.0 * sps, 2 * sub)
+        # doubled-rate stream e2[2k]=|x|², e2[2k+1]=|xh|² correlated with
+        # the 2·sps tone — WITHOUT materializing the interleave (a (N,2)
+        # ->(2N,) relayout): split the tone into its even/odd combs and
+        # take two matvecs (numerically the same sum, reassociated)
+        n = x.shape[-1]
+        nsub2 = (2 * n) // (2 * sub)
+        nps = nsub2 * sub                 # per-phase samples used
+        ex = _pw(x)[:nps].reshape(nsub2, sub)
+        eh = _pw(xh)[:nps].reshape(nsub2, sub)
+        sps2 = 2.0 * sps
+        tke = np.exp(-2j * np.pi * ((2.0 * np.arange(sub)) % sps2) / sps2)
+        tko = np.exp(-2j * np.pi * ((2.0 * np.arange(sub) + 1) % sps2)
+                     / sps2)
+        cr = ex @ jnp.asarray(tke.real, jnp.float32) \
+            + eh @ jnp.asarray(tko.real, jnp.float32)
+        ci = ex @ jnp.asarray(tke.imag, jnp.float32) \
+            + eh @ jnp.asarray(tko.imag, jnp.float32)
+        tj = np.exp(-2j * np.pi * ((np.arange(nsub2) * float(2 * sub))
+                                   % sps2) / sps2)
+        c = jnp.asarray(tj.astype(np.complex64)) * (cr + 1j * ci)
+        tau_e, skew = _om_fit(c, sps2, 2 * sub)
         return tau_e * 0.5, skew
     return _om_core(_pw(x), sps, sub)
 
@@ -223,6 +242,13 @@ def _om_core(e_sig: jnp.ndarray, sps: float, sub: int
     cr = e @ jnp.asarray(tk.real, jnp.float32)
     ci = e @ jnp.asarray(tk.imag, jnp.float32)
     c = jnp.asarray(tj.astype(np.complex64)) * (cr + 1j * ci)  # (nsub,)
+    return _om_fit(c, sps, sub)
+
+
+def _om_fit(c: jnp.ndarray, sps: float, sub: int
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sub-block complex correlations -> (tau0, skew) line fit."""
+    nsub = c.shape[0]
     tau = -jnp.angle(c) / (2 * jnp.pi) * sps               # samples, mod sps
 
     # unwrap modulo sps across sub-blocks
