@@ -52,8 +52,9 @@ class PSKDemodModule(BaseDemodModule):
         # `fast` selects the feedforward sync chain (ops/ffsync.py) — no
         # per-sample recurrences; the TPU throughput path and the DEFAULT.
         # `fast: false` opts into the classic per-sample Costas/M&M scan
-        # chain (reference-parity loops) — CPU only: costas_scan does not
-        # lower on the TPU backend, so on TPU it falls back with a warning.
+        # chain (reference-parity loops) — runs on every backend incl. TPU
+        # (SMOKE_r05) but as a sequential scan it is orders of magnitude
+        # slower there; a speed warning is logged.
         self.fast = bool(self.param("fast", True))
         # `multichip: true` shards consecutive time-blocks of the stream
         # over the device mesh (parallel/timeshard.py — halo exchange +
@@ -149,12 +150,15 @@ class PSKDemodModule(BaseDemodModule):
         mm_out_cap = int(np.ceil(out_n / (sps * (1 - omega_limit)))) + 2
 
         if not self.fast and ffsync._on_tpu():
+            # r3 believed costas_scan could not lower on the TPU backend;
+            # r5's tpu_smoke traced that to EAGER dispatch poisoning the
+            # tunnel — the fully-jitted classic chain compiles and runs
+            # (SMOKE_r05). It remains a sequential per-sample scan, so
+            # warn about speed but honor the user's choice.
             logger.warning(
-                "classic per-sample demod chain (fast=false) does not lower "
-                "on the TPU backend (costas_scan: UNIMPLEMENTED); using the "
-                "feedforward fast chain instead. Run with JAX_PLATFORMS=cpu "
-                "for the reference-parity loops.")
-            self.fast = True
+                "classic per-sample demod chain (fast=false) runs as a "
+                "sequential scan on TPU — expect orders of magnitude below "
+                "the feedforward fast path")
         if self.fast:
             order = _ORDER[self.constellation]
             is_oqpsk = self.is_oqpsk
