@@ -63,19 +63,36 @@ def _shape_tuple(shape) -> tuple:
     return (shape,) if isinstance(shape, int) else tuple(shape)
 
 
+def _tracing() -> bool:
+    try:
+        import jax.core
+        return not jax.core.trace_state_clean()
+    except Exception:
+        return False
+
+
 def zeros(shape, dtype="complex64"):
-    """Device zeros created INSIDE a jit. Eager ``jnp.zeros(..., complex64)``
-    is a complex h2d constant transfer, which permanently poisons every later
-    device->host fetch on the axon tunnel (tools/axon_probe8.py: `czeros`
-    FAIL vs `czeros_jit` ok). All loop-state init functions build their
-    complex members through this. Safe (and equivalent) on every platform;
-    also fine while tracing (inlines as a constant)."""
-    return _fill_fn(_shape_tuple(shape), str(np.dtype(dtype)), 0)()
+    """Device zeros, safe as the FIRST device op of an axon process.
+
+    Eager ``jnp.zeros(..., complex64)`` is a complex h2d constant transfer
+    which permanently poisons every later device->host fetch on the tunnel
+    (tools/axon_probe8.py `czeros` FAIL), and a JITTED fill as the
+    process's first device op does the same (SMOKE_r05: the CLI pipeline
+    path on axon died on exactly this). The only empirically safe opener
+    is `put` (pairs+combine for complex) — so the eager path routes
+    through it; under tracing this becomes a plain traced constant."""
+    if _tracing():
+        import jax.numpy as jnp
+        return jnp.zeros(_shape_tuple(shape), jnp.dtype(str(np.dtype(dtype))))
+    return put(np.zeros(_shape_tuple(shape), np.dtype(dtype)))
 
 
 def ones(shape, dtype="complex64"):
     """See `zeros`."""
-    return _fill_fn(_shape_tuple(shape), str(np.dtype(dtype)), 1)()
+    if _tracing():
+        import jax.numpy as jnp
+        return jnp.ones(_shape_tuple(shape), jnp.dtype(str(np.dtype(dtype))))
+    return put(np.ones(_shape_tuple(shape), np.dtype(dtype)))
 
 
 def put(x: np.ndarray):
@@ -90,7 +107,8 @@ def put(x: np.ndarray):
     import jax.numpy as jnp
     x = np.asarray(x)
     if x.dtype == np.complex64:
-        pairs = x.view(np.float32).reshape(*x.shape, 2).copy()
+        pairs = np.ascontiguousarray(x).reshape(-1).view(np.float32) \
+            .reshape(x.shape + (2,)).copy()
         return _combine_fn()(jnp.asarray(pairs))
     return jnp.asarray(x)
 
