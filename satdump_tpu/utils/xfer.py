@@ -24,9 +24,15 @@ import numpy as np
 
 @lru_cache(maxsize=1)
 def _is_axon() -> bool:
+    """True on the tunnel TPU backend. NOTE: the axon PJRT plugin's
+    devices report platform "tpu" (only the registration name is
+    "axon"), so match either — the converted-download routes are valid
+    (just unnecessary) on any real TPU, while missing them on the tunnel
+    makes every complex/int fetch die with UNIMPLEMENTED (this exact bug
+    shipped until r5: bench only fetches f32, so it never noticed)."""
     import jax
     try:
-        return jax.devices()[0].platform == "axon"
+        return jax.devices()[0].platform in ("axon", "tpu")
     except Exception:
         return False
 
