@@ -293,6 +293,24 @@ def cmd_autotrack(args, extra: List[str]) -> int:
     return 0
 
 
+def cmd_fanin(args, extra: List[str]) -> int:
+    """Multi-site ingest merge (io/fanin.py): N sites publish CADUs over
+    the framed transport; one deduplicated stream comes out."""
+    from satdump_tpu.io.fanin import FrameFanInServer
+    srv = FrameFanInServer(port=args.port, host=args.host,
+                           cadu_size=args.cadu_size)
+    srv.start(n_publishers=args.publishers)
+    print(json.dumps({"port": srv.port}), flush=True)
+    n = 0
+    with open(args.output, "wb") as f:
+        for cadu in srv.frames(timeout=3600.0):
+            f.write(cadu.tobytes())
+            n += 1
+    srv.close()
+    print(json.dumps({"frames": n, "stats": srv.stats}))
+    return 0
+
+
 def cmd_bitview(args, extra: List[str]) -> int:
     """Headless BitView (ref plugins/bitview_app): raster + period
     autodetect for unknown bit streams."""
@@ -462,6 +480,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the pass schedule and exit")
     p.add_argument("--http-port", type=int, default=None)
     p.set_defaults(fn=cmd_autotrack)
+
+    p = sub.add_parser("fanin",
+                       help="merge CADU streams from N receive sites")
+    p.add_argument("output", help="merged .cadu output file")
+    p.add_argument("--port", type=int, default=0,
+                   help="listen port (0 = ephemeral, printed)")
+    p.add_argument("--publishers", type=int, required=True,
+                   help="number of site connections to accept")
+    p.add_argument("--cadu-size", type=int, default=1024)
+    p.add_argument("--host", default="0.0.0.0")
+    p.set_defaults(fn=cmd_fanin)
 
     p = sub.add_parser("bitview",
                        help="render/analyze a raw bit stream "

@@ -244,3 +244,31 @@ def test_frame_fanin_multi_site(rng):
                   | g[8] for g in got)
     assert ctrs == list(range(n))
     assert srv.stats["duplicates"] == (len(a) + len(b) + len(c)) - n
+
+
+def test_cli_fanin(tmp_path, rng):
+    """`satdump_tpu fanin` merges two site streams via the CLI."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from satdump_tpu.io.fanin import publish_frames
+
+    n = 20
+    cadus = np.zeros((n, 1024), np.uint8)
+    cadus[:, 0:4] = [0x1A, 0xCF, 0xFC, 0x1D]
+    cadus[:, 5] = 0x02
+    for i in range(n):
+        cadus[i, 6:9] = [0, 0, i]
+        cadus[i, 10:] = rng.integers(0, 256, 1014)
+    out = tmp_path / "merged.cadu"
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "satdump_tpu.cli", "fanin", str(out),
+         "--publishers", "2", "--host", "127.0.0.1"],
+        stdout=subprocess.PIPE, text=True)
+    port = _json.loads(proc.stdout.readline())["port"]
+    for part in (cadus[:15], cadus[5:]):
+        publish_frames("127.0.0.1", port, part)
+    proc.wait(timeout=30)
+    got = np.fromfile(out, np.uint8).reshape(-1, 1024)
+    assert len(got) == n
+    assert {int(g[8]) for g in got} == set(range(n))
