@@ -43,9 +43,13 @@ def soft_demap(symbols: np.ndarray, kind: str, g1: float = 0.0,
     (positive = 1), bit-serial order (MSB of each symbol first)."""
     from satdump_tpu.utils import xfer
     m = MOD_BITS[kind]
-    pts = jnp.asarray(constellation(kind, g1, g2))
-    llr = _maxlog_llr(jnp.asarray(np.ascontiguousarray(symbols)), pts, m,
-                      noise_var)
+    # complex h2d MUST go through xfer.put (a raw jnp.asarray of complex
+    # kills the axon backend: UNIMPLEMENTED at device_put — found driving
+    # the DVB-S2 pipeline on the real chip, SMOKE_r05)
+    pts = xfer.put(np.asarray(constellation(kind, g1, g2), np.complex64))
+    llr = _maxlog_llr(xfer.put(np.ascontiguousarray(symbols,
+                                                    np.complex64)),
+                      pts, m, noise_var)
     out = xfer.get(llr)
     return out.reshape(out.shape[:-2] + (-1,)).astype(np.float32)
 
