@@ -50,19 +50,26 @@ def mux_packets(packets: Iterable[CCSDSPacket], mpdu_data_size: int = 884,
 
 
 def make_cadus_for_vcid(packets: Iterable[CCSDSPacket], vcid: int,
-                        scid: int = 0x0C, mpdu_data_size: int = 884
-                        ) -> np.ndarray:
+                        scid: int = 0x0C, mpdu_data_size: int = 884,
+                        has_insert_zone: bool = False,
+                        insert_zone_size: int = 2,
+                        total_size: int = 0) -> np.ndarray:
     """Build plain (unrandomized, no RS parity) CADUs: ASM + VCDU header +
-    M-PDU header + data zone. Shape (n, 12 + mpdu_data_size) uint8."""
+    [insert zone +] M-PDU header + data zone. Shape (n, 12 + iz +
+    mpdu_data_size) uint8, zero-padded to ``total_size`` if given (e.g.
+    1024 to leave room where the RS check symbols would sit)."""
     zones = mux_packets(packets, mpdu_data_size)
-    out = np.zeros((len(zones), 12 + mpdu_data_size), np.uint8)
+    iz = insert_zone_size if has_insert_zone else 0
+    width = max(12 + iz + mpdu_data_size, total_size)
+    out = np.zeros((len(zones), width), np.uint8)
     for i, (fhp, data) in enumerate(zones):
         out[i, 0:4] = [0x1A, 0xCF, 0xFC, 0x1D]
         out[i, 4] = (1 << 6) | ((scid >> 2) & 0b111111)
         out[i, 5] = ((scid & 0b11) << 6) | (vcid & 0b111111)
         out[i, 6:9] = [(i >> 16) & 0xFF, (i >> 8) & 0xFF, i & 0xFF]
         out[i, 9] = 0
-        out[i, 10] = (fhp >> 8) & 0b111
-        out[i, 11] = fhp & 0xFF
-        out[i, 12:] = np.frombuffer(data, np.uint8)
+        out[i, 10 + iz] = (fhp >> 8) & 0b111
+        out[i, 11 + iz] = fhp & 0xFF
+        out[i, 12 + iz: 12 + iz + mpdu_data_size] = \
+            np.frombuffer(data, np.uint8)
     return out

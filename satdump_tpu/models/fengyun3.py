@@ -15,7 +15,7 @@ from typing import List
 
 import numpy as np
 
-from satdump_tpu.ccsds import parse_vcdu
+from satdump_tpu.ccsds import Demuxer, parse_vcdu
 from satdump_tpu.core.log import logger
 from satdump_tpu.ops.fec.codings_misc import SimpleDeframer
 from satdump_tpu.pipeline.module import ProcessingModule, register_module
@@ -218,6 +218,101 @@ class MERSI2Reader(MERSIReader):
     pass
 
 
+class MWHS2Reader:
+    """MWHS-2 microwave humidity sounder, 15 channels x 98 px/scan
+    (instruments/mwhs2/mwhs2_reader.cpp). Each scan arrives as four
+    CCSDS packets on APID 16 distinguished by a 2-bit marker at payload
+    byte 35 (bits 3:2); markers 0/1/2 carry four channels each and
+    marker 3 the last three. Scans are keyed by the packet timestamp of
+    the marker-0 packet (FY-3E uses 0.1 ms units)."""
+
+    CHANNELS = 15
+    WIDTH = 98
+
+    def __init__(self, fy3e_mode: bool = False):
+        self.fy3e_mode = fy3e_mode
+        self.lines = 0
+        self._scans: dict = {}
+        self._last_time = 0.0
+        self.timestamps: List[float] = []
+
+    def work(self, pkt) -> None:
+        pl = np.frombuffer(bytes(pkt.payload), np.uint8)
+        if len(pl) < 1018:
+            return
+        from satdump_tpu.ccsds import parse_ccsds_time_full_raw
+        scale = 10000 if self.fy3e_mode else 1000
+        t = parse_ccsds_time_full_raw(
+            pl, 10957 * 86400, scale,
+            10000 if self.fy3e_mode else 1000000) + 12 * 3600
+        marker = (int(pl[35]) >> 2) & 0b11
+        if marker == 0 and t not in self._scans:
+            self._scans[t] = np.zeros((self.CHANNELS, self.WIDTH), np.uint16)
+            self.lines += 1
+            self._last_time = t
+        if marker >= 2:
+            t = self._last_time
+        row = self._scans.setdefault(
+            t, np.zeros((self.CHANNELS, self.WIDTH), np.uint16))
+        words = pl[50: 50 + 2 * 468].astype(np.uint16)
+        words = (words[0::2] << 8) | words[1::2]          # BE u16
+        ngrp = 3 if marker == 3 else 4
+        for g in range(ngrp):
+            row[marker * 4 + g] = words[106 * g: 106 * g + self.WIDTH]
+
+    def get_channel(self, ch: int) -> np.ndarray:
+        keys = sorted(self._scans)
+        self.timestamps = list(keys)
+        if not keys:
+            return np.zeros((0, self.WIDTH), np.uint16)
+        return np.stack([self._scans[k][ch] for k in keys])
+
+
+class MWTS2Reader:
+    """MWTS-2 microwave temperature sounder, 16 channels x 90 px/scan
+    (instruments/mwts2/mwts2_reader.cpp). APID 7; a 3-bit marker in the
+    top nibble of payload byte 0 sequences the scan: marker 1 opens a
+    scan (calibration only), markers 2/3/4 each carry 30 earth pixels of
+    all 16 channels, channel-interleaved as BE u16 words from byte 38."""
+
+    CHANNELS = 16
+    WIDTH = 90
+
+    def __init__(self):
+        self.lines = 0
+        self._scans: dict = {}
+        self._last_time = 0.0
+        self.timestamps: List[float] = []
+
+    def work(self, pkt) -> None:
+        pl = np.frombuffer(bytes(pkt.payload), np.uint8)
+        if len(pl) < 1018:
+            return
+        from satdump_tpu.ccsds import parse_ccsds_time_full_raw
+        t = parse_ccsds_time_full_raw(pl[4:12], 10957 * 86400) + 12 * 3600
+        marker = (int(pl[0]) >> 4) & 0b111
+        if marker == 1 and t not in self._scans:
+            self._scans[t] = np.zeros((self.CHANNELS, self.WIDTH), np.uint16)
+            self.lines += 1
+            self._last_time = t
+        if marker >= 2:
+            t = self._last_time
+        if marker < 2 or marker > 4 or t not in self._scans:
+            return
+        row = self._scans[t]
+        words = pl[38: 38 + 2 * 492].astype(np.uint16)
+        words = (words[0::2] << 8) | words[1::2]
+        block = words[: 30 * 16].reshape(30, 16)          # px-major
+        row[:, 30 * (marker - 2): 30 * (marker - 1)] = block.T
+
+    def get_channel(self, ch: int) -> np.ndarray:
+        keys = sorted(self._scans)
+        self.timestamps = list(keys)
+        if not keys:
+            return np.zeros((0, self.WIDTH), np.uint16)
+        return np.stack([self._scans[k][ch] for k in keys])
+
+
 def fengyun_diff_decode(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """FengYun QPSK differential decode (diff.cpp work2), vectorized:
     per symbol, (x^y) selects which rail-pair XOR lands in which output
@@ -294,7 +389,8 @@ class FengyunAHRPTDecoderModule(ProcessingModule):
 @register_module
 class FY3InstrumentsDecoderModule(ProcessingModule):
     """cadu -> FY-3 instrument products (module_fy3_instruments.cpp).
-    Currently decodes VIRR (VCID 5, FY-3A/B/C AHRPT)."""
+    VIRR (VCID 5, FY-3A/B/C), MERSI-2 (VCID 3, FY-3D), and the VCID-12
+    CCSDS-compliant stream: MWHS-2 (APID 16) + MWTS-2 (APID 7)."""
 
     id = "fy3_instruments"
 
@@ -307,6 +403,11 @@ class FY3InstrumentsDecoderModule(ProcessingModule):
                                   VIRR_FRAME_BITS, 0)
         virr = VIRRReader()
         mersi = MERSI2Reader()
+        mwhs2 = MWHS2Reader(fy3e_mode=self.satellite in ("fy3e", "fy3f"))
+        mwts2 = MWTS2Reader()
+        # VCID 12 is the CCSDS-compliant virtual channel on every FY-3
+        # (module_fy3_instruments.cpp:119: Demuxer(882, true))
+        dmx12 = Demuxer(882, True)
         mersi_zones: List[np.ndarray] = []
         data = np.fromfile(self.d_input_file, np.uint8)
         n = len(data) // 1024
@@ -318,11 +419,21 @@ class FY3InstrumentsDecoderModule(ProcessingModule):
                     virr.work(frm)
             elif vcdu.vcid == 3:  # MERSI-2 (FY-3D)
                 mersi_zones.append(cadu[14: 14 + 882])
+            elif vcdu.vcid == 12:  # CCSDS-compliant VC (all FY-3)
+                for pkt in dmx12.work(bytes(cadu)):
+                    if pkt.header.apid == 16:
+                        mwhs2.work(pkt)
+                    elif pkt.header.apid == 7:
+                        mwts2.work(pkt)
         if mersi_zones:
             mersi.work(np.concatenate(mersi_zones))
 
         out_dir = Path(self.d_output_file_hint).parent
-        ts = virr.timestamps or mersi.timestamps
+        for r in (mwhs2, mwts2):   # populate .timestamps
+            if r.lines:
+                r.get_channel(0)
+        ts = (virr.timestamps or mersi.timestamps
+              or mwhs2.timestamps or mwts2.timestamps)
         ds = DataSet("FengYun-3",
                      float(np.median([t for t in ts if t > 0]))
                      if any(t > 0 for t in ts) else -1)
@@ -342,7 +453,26 @@ class FY3InstrumentsDecoderModule(ProcessingModule):
             p.contents["timestamps"] = mersi.timestamps
             p.save(str(out_dir / "MERSI-2"))
             ds.products_list.append("MERSI-2")
+        if mwhs2.lines:
+            p = ImageProduct()
+            p.instrument_name = "mwhs2"
+            for c in range(MWHS2Reader.CHANNELS):
+                p.add_channel(mwhs2.get_channel(c), str(c + 1), bit_depth=16)
+            p.contents["timestamps"] = mwhs2.timestamps
+            p.save(str(out_dir / "MWHS-2"))
+            ds.products_list.append("MWHS-2")
+            logger.info(f"MWHS-2: {mwhs2.lines} scans")
+        if mwts2.lines:
+            p = ImageProduct()
+            p.instrument_name = "mwts2"
+            for c in range(MWTS2Reader.CHANNELS):
+                p.add_channel(mwts2.get_channel(c), str(c + 1), bit_depth=16)
+            p.contents["timestamps"] = mwts2.timestamps
+            p.save(str(out_dir / "MWTS-2"))
+            ds.products_list.append("MWTS-2")
+            logger.info(f"MWTS-2: {mwts2.lines} scans")
         self.d_output_file = ds.save(str(out_dir))
         self.stats = {"virr_lines": virr.lines, "mersi_segments":
-                      mersi.segments + 1}
+                      mersi.segments + 1, "mwhs2_lines": mwhs2.lines,
+                      "mwts2_lines": mwts2.lines}
         logger.info(f"FY-3 instruments: {self.stats}")

@@ -184,3 +184,110 @@ def test_fengyun_ahrpt_decoder(tmp_path, rng):
     got = np.fromfile(mod.d_output_file, np.uint8).reshape(-1, 1024)
     matched = sum(bool((cadus == g).all(axis=1).any()) for g in got)
     assert matched >= 7, f"decoded {matched}/8"
+
+
+# ---------------------------------------------------------------------------
+# MWHS-2 / MWTS-2 (VCID-12 CCSDS sounders)
+# ---------------------------------------------------------------------------
+def _cds_time(days, ms, us=0):
+    return bytes([days >> 8, days & 0xFF]) + int(ms).to_bytes(4, "big") \
+        + bytes([us >> 8, us & 0xFF])
+
+
+def mk_mwhs2_packets(scan_idx, days=2000, base_ms=1_000_000):
+    """Four packets (markers 0..3) of one MWHS-2 scan; channel ch pixel i
+    carries value 100*ch + i + scan_idx."""
+    from satdump_tpu.ccsds import CCSDSHeader, CCSDSPacket
+    pkts = []
+    ms = base_ms + scan_idx * 2667
+    for marker in range(4):
+        pl = bytearray(1018)
+        pl[0:8] = _cds_time(days, ms)
+        pl[35] = marker << 2
+        words = np.zeros(468, np.uint16)
+        ngrp = 3 if marker == 3 else 4
+        for g in range(ngrp):
+            ch = marker * 4 + g
+            words[106 * g: 106 * g + 98] = 100 * ch + np.arange(98) + scan_idx
+        pl[50: 50 + 2 * 468] = words.astype(">u2").tobytes()
+        p = CCSDSPacket(header=CCSDSHeader(apid=16), payload=pl)
+        pkts.append(p)
+    return pkts
+
+
+def mk_mwts2_packets(scan_idx, days=2000, base_ms=2_000_000):
+    """Markers 1..4 of one MWTS-2 scan; channel ch pixel i carries
+    1000 + 16*i + ch + scan_idx."""
+    from satdump_tpu.ccsds import CCSDSHeader, CCSDSPacket
+    pkts = []
+    ms = base_ms + scan_idx * 5333
+    for marker in range(1, 5):
+        pl = bytearray(1018)
+        pl[0] = marker << 4
+        pl[4:12] = _cds_time(days, ms)
+        words = np.zeros(492, np.uint16)
+        if marker >= 2:
+            px = np.arange(30) + 30 * (marker - 2)
+            blk = 1000 + 16 * px[:, None] + np.arange(16)[None, :] + scan_idx
+            words[: 30 * 16] = blk.reshape(-1)
+        pl[38: 38 + 2 * 492] = words.astype(">u2").tobytes()
+        pkts.append(CCSDSPacket(header=CCSDSHeader(apid=7), payload=pl))
+    return pkts
+
+
+def test_mwhs2_reader():
+    from satdump_tpu.models.fengyun3 import MWHS2Reader
+    r = MWHS2Reader()
+    for s in range(3):
+        for p in mk_mwhs2_packets(s):
+            r.work(p)
+    assert r.lines == 3
+    for ch in (0, 4, 8, 14):
+        img = r.get_channel(ch)
+        assert img.shape == (3, 98)
+        for s in range(3):
+            np.testing.assert_array_equal(
+                img[s], 100 * ch + np.arange(98) + s)
+    t0 = 2000 * 86400 + 1000 + 12 * 3600 + 10957 * 86400
+    assert abs(r.timestamps[0] - t0) < 1e-6
+
+
+def test_mwts2_reader():
+    from satdump_tpu.models.fengyun3 import MWTS2Reader
+    r = MWTS2Reader()
+    for s in range(2):
+        for p in mk_mwts2_packets(s):
+            r.work(p)
+    assert r.lines == 2
+    for ch in (0, 7, 15):
+        img = r.get_channel(ch)
+        assert img.shape == (2, 90)
+        for s in range(2):
+            np.testing.assert_array_equal(
+                img[s], 1000 + 16 * np.arange(90) + ch + s)
+
+
+def test_fy3_vcid12_module(tmp_path):
+    """MWHS-2 + MWTS-2 packets muxed onto VCID 12 (insert zone, 882-byte
+    zones) decode through the full module to both sounder products."""
+    from satdump_tpu.ccsds.mux import make_cadus_for_vcid
+    pkts = []
+    for s in range(3):
+        pkts += mk_mwhs2_packets(s)
+    for s in range(2):
+        pkts += mk_mwts2_packets(s)
+    cadus = make_cadus_for_vcid(pkts, vcid=12, mpdu_data_size=882,
+                                has_insert_zone=True, total_size=1024)
+    p = tmp_path / "x.cadu"
+    cadus.astype(np.uint8).tofile(p)
+    mod = FY3InstrumentsDecoderModule(str(p), str(tmp_path / "out"), {})
+    mod.process()
+    assert mod.stats["mwhs2_lines"] == 3
+    assert mod.stats["mwts2_lines"] == 2
+    from satdump_tpu.products.product import load_product
+    prod = load_product(str(tmp_path / "MWHS-2"))
+    assert len(prod.images) == 15
+    assert prod.images[0].image.shape == (3, 98)
+    prod = load_product(str(tmp_path / "MWTS-2"))
+    assert len(prod.images) == 16
+    assert prod.images[0].image.shape == (2, 90)
