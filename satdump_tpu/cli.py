@@ -30,11 +30,16 @@ from satdump_tpu.core.log import logger
 
 
 def _parse_value(v: str):
-    """Parse a CLI value: JSON first (numbers/bools/lists), else string."""
+    """Parse a CLI value: JSON first (numbers/bools/lists), then notated
+    units ("6M", "1701.3 MHz" -> Hz, ref utils/unit_parser.cpp), else
+    string."""
     try:
         return json.loads(v)
     except (json.JSONDecodeError, ValueError):
-        return v
+        pass
+    from satdump_tpu.utils.units import parse_frequency
+    f = parse_frequency(v)
+    return v if f is None else f
 
 
 def _collect_kv(extra: List[str]) -> dict:

@@ -14,3 +14,4 @@ import satdump_tpu.models.goes_sd  # noqa: F401
 import satdump_tpu.models.jpss  # noqa: F401
 import satdump_tpu.models.eos  # noqa: F401
 import satdump_tpu.models.fengyun3  # noqa: F401
+import satdump_tpu.models.radiosonde  # noqa: F401

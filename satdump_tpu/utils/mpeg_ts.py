@@ -135,3 +135,84 @@ def mpe_extract_ip(section: bytes) -> Optional[Tuple[MPEHeader, IPv4Header,
     ip = IPv4Header.parse(ip_raw)
     payload = ip_raw[ip.ihl * 4: ip.total_length]
     return mpe, ip, payload
+
+
+# ---------------------------------------------------------------------------
+# Fazzt file broadcast (GEONETCast), ref common/mpeg_ts/fazzt_processor.cpp
+# ---------------------------------------------------------------------------
+@dataclass
+class FazztFile:
+    name: str
+    size: int
+    parts: int
+    has_parts: List[bool]
+    data: bytearray
+    last_pkt_time: float
+
+
+class FazztProcessor:
+    """Reassemble files from Fazzt broadcast frames
+    (fazzt_processor.cpp:8-99). Frame layout: type at byte 1, LE16 length
+    at 2, LE32 file id at 4. Head (0x03) announces name/parts/size, body
+    (0x01) carries LE16 part index at 8 + payload from byte 16, tail
+    (0xFF) flushes. Stale transfers are pruned after ``max_time``
+    seconds."""
+
+    MAX_SIZE = int(1e9)
+
+    def __init__(self, payload_size: int, max_time: float = 120.0,
+                 clock=None):
+        import time as _time
+        self.payload_size = payload_size
+        self.max_time = max_time
+        self._clock = clock or _time.time
+        self._files: Dict[int, FazztFile] = {}
+        self._frame_cnt = 0
+
+    def work(self, frame: bytes) -> List[FazztFile]:
+        out: List[FazztFile] = []
+        frame = bytes(frame)
+        if len(frame) < 8:
+            return out
+        ptype = frame[1]
+        plen = frame[3] << 8 | frame[2]
+        fid = int.from_bytes(frame[4:8], "little")
+        if plen <= len(frame):
+            if ptype == 0x03 and len(frame) >= 85:
+                f = frame.ljust(1431, b"\x00")
+                name = f[84: f.index(b"\x00", 84)].decode(
+                    "latin-1", "replace")
+                parts = f[73] << 8 | f[72]
+                sz_at = 84 + len(name) + 56
+                length = int.from_bytes(f[sz_at: sz_at + 4], "little")
+                if (length <= self.MAX_SIZE and len(name) > 4
+                        and parts * self.payload_size >= length):
+                    if fid in self._files:
+                        self._files[fid].size = length
+                        self._files[fid].parts = parts
+                        self._files[fid].name = name
+                    else:
+                        self._files[fid] = FazztFile(
+                            name, length, parts, [False] * parts,
+                            bytearray(parts * self.payload_size),
+                            self._clock())
+            elif ptype == 0x01 and fid in self._files:
+                part = frame[9] << 8 | frame[8]
+                fil = self._files[fid]
+                if part < fil.parts:
+                    chunk = frame[16: 16 + self.payload_size]
+                    fil.data[part * self.payload_size:
+                             part * self.payload_size + len(chunk)] = chunk
+                    fil.has_parts[part] = True
+                    fil.last_pkt_time = self._clock()
+            elif ptype == 0xFF and fid in self._files:
+                fil = self._files.pop(fid)
+                if fil.size > 0 and len(fil.data) > 0:
+                    fil.data = fil.data[: fil.size]
+                    out.append(fil)
+        self._frame_cnt += 1
+        if self._frame_cnt % 1000 == 0:
+            now = self._clock()
+            self._files = {k: v for k, v in self._files.items()
+                           if now - v.last_pkt_time <= self.max_time}
+        return out
