@@ -15,3 +15,4 @@ import satdump_tpu.models.jpss  # noqa: F401
 import satdump_tpu.models.eos  # noqa: F401
 import satdump_tpu.models.fengyun3  # noqa: F401
 import satdump_tpu.models.radiosonde  # noqa: F401
+import satdump_tpu.models.orbcomm  # noqa: F401
